@@ -1,0 +1,125 @@
+"""Benchmark harness — prints ONE JSON line.
+
+Runs (a) the flagship synthetic-corpus KG pipeline (pages → documents →
+sentences → mentions → linked → triples) measuring docs/sec, chars/sec
+and triples/sec (the BASELINE.json metric), and (b) the headline
+driver-contract queries at $SPARK_GRAFT_SF_DIR (default
+/root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS].
+
+Each query is materialized with a noop write (all columns computed, no
+sink cost). Scaling evidence across two parallelism levels is produced
+by scripts/scaling_bench.py (separate JVMs).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+
+def run_bench(sf_dir: str, cpus: str, n_corpus_docs: int | None = None) -> dict:
+    if n_corpus_docs is None:
+        n_corpus_docs = int(os.environ.get("SPARK_GRAFT_KG_DOCS", "12000"))
+    from easyner_spark.corpus import GAZETTEER, NEL_LOOKUP, pages_df
+    from easyner_spark.queries import ORACLES, QUERIES  # noqa: F401
+    from easyner_spark.session import get_spark
+    from easyner_spark.stages.extract import extract_documents
+    from easyner_spark.stages.ner_dict import dict_ner
+    from easyner_spark.stages.nel import link_entities
+    from easyner_spark.stages.split import split_documents
+    from easyner_spark.stages.triples import cooccurrence_triples
+    from pyspark.sql import functions as F
+
+    spark = get_spark(
+        app_name="easyner_bench",
+        master=f"local[{cpus}]",
+        shuffle_partitions=int(cpus) if cpus.isdigit() else 32,
+    )
+
+    def mat(df) -> int:
+        df.write.format("noop").mode("overwrite").save()
+        return 0
+
+    results: dict[str, float] = {}
+
+    # --- flagship KG pipeline on the synthetic corpus ---
+    # stage persists = the checkpoint boundaries of the real pipeline
+    # (each stage table would be an Iceberg snapshot); one action per stage.
+    # pages are materialized BEFORE the clock starts: input synthesis is
+    # driver-side test scaffolding, not engine throughput (in production
+    # this is an Iceberg/parquet scan).
+    pages = pages_df(
+        spark, n_docs=n_corpus_docs, n_partitions=int(cpus) * 2 if cpus.isdigit() else 32
+    ).persist()
+    pages.count()
+    t0 = time.time()
+    docs = extract_documents(pages, n_batches=64).persist()
+    stats = docs.agg(
+        F.count("*").alias("n"), F.sum(F.length("text")).alias("c")
+    ).first()
+    n_docs, n_chars = stats["n"], stats["c"]
+    sents = split_documents(docs).persist()
+    mentions = dict_ner(sents, GAZETTEER)
+    lookup = spark.createDataFrame(
+        [{"entity": e, "id": i, "name": n} for e, i, n in NEL_LOOKUP]
+    )
+    linked, _ = link_entities(mentions, lookup)
+    linked = linked.persist()
+    triples = cooccurrence_triples(linked, sents)
+    n_triples = triples.count()
+    kg_sec = time.time() - t0
+    for df in (pages, docs, sents, linked):
+        df.unpersist()
+    results["kg_pipeline_synthetic"] = round(kg_sec, 3)
+
+    headline = [
+        "kg_triple_counts",
+        "kg_entity_frequency",
+        "kg_id_frequency",
+        "kg_linked",
+        "kg_sentences",
+        "dedup_exact",
+        "dedup_minhash_pairs",
+        "dedup_jaccard",
+        "doc_quality_scores",
+        "doc_fingerprint",
+        "lang_id_stopword",
+        "embed_knn_bruteforce",
+        "embed_lsh_buckets",
+        "tpch_pricing_summary",
+        "tpch_revenue_by_nation",
+        "tpch_topk_orders_per_segment",
+        "events_sessionize",
+        "events_latest_per_user",
+    ]
+    for name in headline:
+        t0 = time.time()
+        mat(QUERIES[name](spark, sf_dir))
+        results[name] = round(time.time() - t0, 3)
+
+    total = round(sum(results.values()), 3)
+    sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+    return {
+        "metric": "e2e_suite_sec",
+        "value": total,
+        "unit": "sec",
+        "queries": results,
+        "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+        "kg_docs": n_docs,
+        "kg_chars": int(n_chars),
+        "kg_triples": n_triples,
+        "kg_docs_per_sec": round(n_docs / kg_sec, 1),
+        "kg_chars_per_sec": round(n_chars / kg_sec, 1),
+        "kg_triples_per_sec": round(n_triples / kg_sec, 1),
+        "cpus": cpus,
+    }
+
+
+if __name__ == "__main__":
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+    out = run_bench(sf_dir, cpus)
+    print(json.dumps(out))
+    sys.stdout.flush()

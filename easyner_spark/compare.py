@@ -1,0 +1,52 @@
+"""Strict local Spark-vs-DuckDB comparator (mirrors the driver's check:
+row count + schema + order-insensitive values, but stricter — exact
+cell equality after canonical sorting)."""
+
+from __future__ import annotations
+
+import duckdb
+import pandas as pd
+
+TABLES = (
+    "region nation customer supplier part orders lineitem events documents embeddings"
+).split()
+
+
+def duck_con(sf_dir: str) -> "duckdb.DuckDBPyConnection":
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
+    return con
+
+
+def canon(df: pd.DataFrame) -> pd.DataFrame:
+    df = df[sorted(df.columns)].copy()
+    for c in df.columns:
+        if df[c].dtype == object:
+            df[c] = df[c].astype(str)
+    df = df.sort_values(by=list(df.columns), kind="mergesort").reset_index(drop=True)
+    return df
+
+
+def compare_query(spark, sf_dir: str, name: str, spark_fn, oracle_sql: str) -> str | None:
+    """Returns None on match, else a human-readable diff summary."""
+    sdf = spark_fn(spark, sf_dir).toPandas()
+    con = duck_con(sf_dir)
+    ddf = con.execute(oracle_sql).df()
+    con.close()
+    if sorted(sdf.columns) != sorted(ddf.columns):
+        return f"{name}: columns differ spark={sorted(sdf.columns)} duck={sorted(ddf.columns)}"
+    if len(sdf) != len(ddf):
+        return f"{name}: rowcount spark={len(sdf)} duck={len(ddf)}"
+    a, b = canon(sdf), canon(ddf)
+    # numeric tolerance for float cols, exact otherwise
+    for c in a.columns:
+        if pd.api.types.is_float_dtype(a[c]) or pd.api.types.is_float_dtype(b[c]):
+            if not ((a[c].astype(float) - b[c].astype(float)).abs() < 1e-9).all():
+                bad = (a[c].astype(float) - b[c].astype(float)).abs().idxmax()
+                return f"{name}: float col {c} differs, e.g. row {bad}: {a[c][bad]} vs {b[c][bad]}"
+        else:
+            if not (a[c].astype(str) == b[c].astype(str)).all():
+                bad = (a[c].astype(str) != b[c].astype(str)).idxmax()
+                return f"{name}: col {c} differs, e.g. row {bad}: {a[c][bad]!r} vs {b[c][bad]!r}"
+    return None

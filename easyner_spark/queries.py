@@ -1,0 +1,1224 @@
+"""Driver-contract queries: Spark DataFrame implementations + DuckDB oracles.
+
+Each entry exercises operators from SURVEY.md §2 over the driver's
+testdata tables (documents / TPC-H star / events / embeddings). The
+KG-pipeline queries treat ``documents.text`` as whitespace-token prose:
+token := non-empty split(' ') element, sentence := window of 10 tokens
+— so every stage (tokenize → mention → link → analyze → triple) is
+expressible both as an idiomatic Spark plan and as ANSI SQL DuckDB can
+run for the value-hash comparison.
+
+Cross-engine determinism rules used throughout (see tests):
+* counts/ranks are BIGINT/INT with explicit casts on both sides;
+* money aggregates go through DECIMAL(18,2) (exact) and are cast to
+  DOUBLE only at the end — one identical rounding on both engines;
+* ratios divide exact integers (IEEE-identical) and are round()ed;
+* hashes are md5 hex strings (identical in Spark and DuckDB);
+* timestamps are compared as unix microseconds (unix_micros /
+  epoch_us), never as engine-native timestamp values.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession, Window as W, functions as F
+
+# ---------------------------------------------------------------------------
+# shared dimension literals (embedded: the contract gazetteer / NEL lookup
+# for the word-soup corpus; reference analogs: dictionaries/*.txt and the
+# 3-column NEL TSV of scripts/nel.py:20-25)
+# ---------------------------------------------------------------------------
+
+GAZ: dict[str, str] = {
+    "spark": "engine",
+    "join": "op",
+    "hash": "op",
+    "sort": "op",
+    "merge": "op",
+    "filter": "op",
+    "scan": "op",
+    "window": "op",
+    "stream": "op",
+    "batch": "op",
+    "table": "obj",
+    "row": "obj",
+    "column": "obj",
+    "vector": "obj",
+    "dup": "marker",
+}
+
+NEL: dict[str, tuple[str, str]] = {
+    "spark": ("CONCEPT:1", "Apache Spark"),
+    "join": ("CONCEPT:2", "Join Operator"),
+    "hash": ("CONCEPT:3", "Hash Function"),
+    "table": ("CONCEPT:4", "Table"),
+    "row": ("CONCEPT:5", "Row"),
+    "window": ("CONCEPT:6", "Window Operator"),
+    "scan": ("CONCEPT:7", "Scan Operator"),
+}
+
+SEARCH_TERMS = ["spark", "dup"]
+STOPWORDS = ["the", "a", "of", "to", "in", "and", "is"]
+N_BATCHES = 8
+SENT_LEN = 10
+MINHASH_SEEDS = 8
+LSH_PLANES = 8
+KNN_QUERIES = 10
+KNN_K = 3
+
+_GAZ_ITEMS = sorted(GAZ.items())
+_NEL_ITEMS = sorted((e, i, n) for e, (i, n) in NEL.items())
+
+
+def _sql_values_gaz() -> str:
+    return ", ".join(f"('{t}', '{c}')" for t, c in _GAZ_ITEMS)
+
+
+def _sql_values_nel() -> str:
+    return ", ".join(f"('{e}', '{i}', '{n}')" for e, i, n in _NEL_ITEMS)
+
+
+def _read(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+# ---------------------------------------------------------------------------
+# shared Spark building blocks
+# ---------------------------------------------------------------------------
+
+
+def tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """documents → (doc_id, pos, sent_idx, batch_id, token). Narrow plan:
+    posexplode keeps within-row order, no shuffle."""
+    return (
+        _read(spark, sf_dir, "documents")
+        .select(
+            "doc_id",
+            F.posexplode(F.split("text", " ")).alias("pos", "token"),
+        )
+        .filter(F.col("token") != "")
+        .select(
+            "doc_id",
+            "pos",
+            F.expr(f"CAST(pos DIV {SENT_LEN} AS INT)").alias("sent_idx"),
+            F.expr(f"CAST(doc_id % {N_BATCHES} AS INT)").alias("batch_id"),
+            "token",
+        )
+    )
+
+
+_TOKS_CTE = f"""
+WITH toks0 AS (
+  SELECT doc_id, unnest(lst) AS token, unnest(range(len(lst))) AS p
+  FROM (SELECT doc_id, string_split(text, ' ') AS lst FROM documents) t
+),
+toks AS (
+  SELECT doc_id,
+         CAST(p AS INT) AS pos,
+         CAST(p // {SENT_LEN} AS INT) AS sent_idx,
+         CAST(doc_id % {N_BATCHES} AS INT) AS batch_id,
+         token
+  FROM toks0 WHERE token <> ''
+)
+"""
+
+
+def gaz_df(spark: SparkSession) -> DataFrame:
+    return spark.createDataFrame(_GAZ_ITEMS, "term string, class string")
+
+
+def nel_df(spark: SparkSession) -> DataFrame:
+    return spark.createDataFrame(_NEL_ITEMS, "entity string, id string, name string")
+
+
+def mentions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gazetteer match = broadcast semi-style inner join token==term."""
+    return (
+        tokens(spark, sf_dir)
+        .join(F.broadcast(gaz_df(spark)), F.col("token") == F.col("term"))
+        .select(
+            "doc_id",
+            "batch_id",
+            "sent_idx",
+            "pos",
+            F.col("token").alias("surface"),
+            "class",
+        )
+    )
+
+
+_MENTIONS_CTE = (
+    _TOKS_CTE
+    + f""",
+gaz(term, class) AS (VALUES {_sql_values_gaz()}),
+mentions AS (
+  SELECT doc_id, batch_id, sent_idx, pos, token AS surface, class
+  FROM toks JOIN gaz ON token = term
+)
+"""
+)
+
+
+def linked(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NEL: broadcast left join + deterministic mint (J1 re-spec)."""
+    from .stages.nel import link_entities
+
+    lk = nel_df(spark)
+    out, _ = link_entities(mentions(spark, sf_dir), lk)
+    return out.select(
+        "doc_id", "batch_id", "sent_idx", "pos", "surface", "class", "ent_id", "ent_name"
+    )
+
+
+_LINKED_CTE = (
+    _MENTIONS_CTE
+    + f""",
+nel(entity, id, name) AS (VALUES {_sql_values_nel()}),
+miss(surface, mint_id) AS (
+  SELECT surface,
+         'easyner:' || CAST(ROW_NUMBER() OVER (ORDER BY surface) AS VARCHAR)
+  FROM (SELECT DISTINCT m.surface
+        FROM mentions m LEFT JOIN nel ON m.surface = nel.entity
+        WHERE nel.id IS NULL) u
+),
+linked AS (
+  SELECT m.doc_id, m.batch_id, m.sent_idx, m.pos, m.surface, m.class,
+         COALESCE(nel.id, miss.mint_id) AS ent_id,
+         COALESCE(nel.name, m.surface) AS ent_name
+  FROM mentions m
+  LEFT JOIN nel ON m.surface = nel.entity
+  LEFT JOIN miss ON m.surface = miss.surface
+)
+"""
+)
+
+
+def sentences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sentence windows rebuilt from tokens (deterministic order-by-pos)."""
+    return (
+        tokens(spark, sf_dir)
+        .groupBy("doc_id", "sent_idx")
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("pos", "token"))),
+                    lambda s: s["token"],
+                ),
+                " ",
+            ).alias("sent_text"),
+            F.count("*").cast("bigint").alias("n_tokens"),
+        )
+    )
+
+
+_SENTENCES_CTE = (
+    _TOKS_CTE
+    + """,
+sentences AS (
+  SELECT doc_id, sent_idx,
+         string_agg(token, ' ' ORDER BY pos) AS sent_text,
+         CAST(count(*) AS BIGINT) AS n_tokens
+  FROM toks GROUP BY doc_id, sent_idx
+)
+"""
+)
+
+# trigram shingles over in-doc token sequence (for dedup/fingerprint ops)
+
+
+def shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = tokens(spark, sf_dir).select("doc_id", "pos", "token")
+    # window-free construction: collect per doc then slide — cheaper than
+    # a 3-way self-join and keeps one shuffle
+    per_doc = t.groupBy("doc_id").agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("pos", "token"))),
+            lambda s: s["token"],
+        ).alias("toks")
+    )
+    return per_doc.select(
+        "doc_id",
+        F.explode(
+            F.expr(
+                "transform(sequence(0, greatest(size(toks) - 3, -1)),"
+                " i -> concat_ws(' ', toks[i], toks[i+1], toks[i+2]))"
+            )
+        ).alias("shingle"),
+    ).filter(F.col("shingle") != "")
+
+
+_SHINGLES_CTE = (
+    _TOKS_CTE
+    + """,
+doc_toks AS (
+  SELECT doc_id, list(token ORDER BY pos) AS toks FROM toks GROUP BY doc_id
+),
+shingles AS (
+  SELECT doc_id, toks[i+1] || ' ' || toks[i+2] || ' ' || toks[i+3] AS shingle
+  FROM (SELECT doc_id, toks, unnest(range(greatest(len(toks) - 2, 0))) AS i
+        FROM doc_toks) z
+)
+"""
+)
+
+
+# ---------------------------------------------------------------------------
+# the registry
+# ---------------------------------------------------------------------------
+
+QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
+ORACLES: dict[str, str] = {}
+
+
+def register(name: str, oracle: str | None):
+    def deco(fn):
+        QUERIES[name] = fn
+        if oracle is not None:
+            ORACLES[name] = oracle
+        return fn
+
+    return deco
+
+
+# --------------------------- KG pipeline queries ---------------------------
+
+
+@register(
+    "kg_tokens",
+    _TOKS_CTE + "SELECT doc_id, pos, sent_idx, batch_id, token FROM toks",
+)
+def q_kg_tokens(spark, sf_dir):
+    return tokens(spark, sf_dir)
+
+
+@register(
+    "kg_sentences",
+    _SENTENCES_CTE + "SELECT doc_id, sent_idx, sent_text, n_tokens FROM sentences",
+)
+def q_kg_sentences(spark, sf_dir):
+    return sentences(spark, sf_dir).select("doc_id", "sent_idx", "sent_text", "n_tokens")
+
+
+@register(
+    "kg_mentions",
+    _MENTIONS_CTE
+    + "SELECT doc_id, batch_id, sent_idx, pos, surface, class FROM mentions",
+)
+def q_kg_mentions(spark, sf_dir):
+    return mentions(spark, sf_dir)
+
+
+@register(
+    "kg_linked",
+    _LINKED_CTE
+    + "SELECT doc_id, batch_id, sent_idx, pos, surface, class, ent_id, ent_name FROM linked",
+)
+def q_kg_linked(spark, sf_dir):
+    return linked(spark, sf_dir)
+
+
+@register(
+    "kg_new_entities",
+    _MENTIONS_CTE
+    + f""",
+nel(entity, id, name) AS (VALUES {_sql_values_nel()})
+SELECT surface AS entity,
+       'easyner:' || CAST(ROW_NUMBER() OVER (ORDER BY surface) AS VARCHAR) AS id,
+       surface AS name
+FROM (SELECT DISTINCT m.surface
+      FROM mentions m LEFT JOIN nel ON m.surface = nel.entity
+      WHERE nel.id IS NULL) u
+""",
+)
+def q_kg_new_entities(spark, sf_dir):
+    from .stages.nel import link_entities
+
+    _, new = link_entities(mentions(spark, sf_dir), nel_df(spark))
+    return new
+
+
+@register(
+    "kg_entity_frequency",
+    _MENTIONS_CTE
+    + """
+SELECT surface,
+       CAST(count(*) AS BIGINT) AS total_count,
+       CAST(count(DISTINCT doc_id) AS BIGINT) AS articles_spanned,
+       CAST(count(DISTINCT batch_id) AS BIGINT) AS batches_spanned,
+       round(CAST(count(*) AS DOUBLE) / count(DISTINCT doc_id), 6) AS freq_per_article,
+       round(CAST(count(*) AS DOUBLE) / count(DISTINCT batch_id), 6) AS freq_per_batch,
+       string_agg(DISTINCT CAST(batch_id AS VARCHAR), '; ' ORDER BY CAST(batch_id AS VARCHAR)) AS batch_set,
+       CAST(RANK() OVER (ORDER BY count(*) DESC, surface) AS BIGINT) AS rnk
+FROM mentions
+GROUP BY surface
+""",
+)
+def q_kg_entity_frequency(spark, sf_dir):
+    m = mentions(spark, sf_dir)
+    agg = m.groupBy("surface").agg(
+        F.count("*").alias("total_count"),
+        F.countDistinct("doc_id").alias("articles_spanned"),
+        F.countDistinct("batch_id").alias("batches_spanned"),
+        F.array_join(
+            F.array_sort(F.collect_set(F.col("batch_id").cast("string"))), "; "
+        ).alias("batch_set"),
+    )
+    return agg.select(
+        "surface",
+        "total_count",
+        "articles_spanned",
+        "batches_spanned",
+        F.round(
+            F.col("total_count").cast("double") / F.col("articles_spanned"), 6
+        ).alias("freq_per_article"),
+        F.round(
+            F.col("total_count").cast("double") / F.col("batches_spanned"), 6
+        ).alias("freq_per_batch"),
+        "batch_set",
+        F.rank()
+        .over(W.orderBy(F.desc("total_count"), "surface"))
+        .cast("bigint")
+        .alias("rnk"),
+    )
+
+
+@register(
+    "kg_id_frequency",
+    _LINKED_CTE
+    + """
+SELECT ent_id,
+       min(ent_name) AS name,
+       string_agg(DISTINCT surface, '; ' ORDER BY surface) AS entities_list,
+       CAST(count(*) AS BIGINT) AS total_count,
+       CAST(count(DISTINCT doc_id) AS BIGINT) AS articles_spanned,
+       CAST(RANK() OVER (ORDER BY count(*) DESC, ent_id) AS BIGINT) AS rnk
+FROM linked
+GROUP BY ent_id
+""",
+)
+def q_kg_id_frequency(spark, sf_dir):
+    lk = linked(spark, sf_dir)
+    agg = lk.groupBy("ent_id").agg(
+        F.min("ent_name").alias("name"),
+        F.array_join(F.array_sort(F.collect_set("surface")), "; ").alias(
+            "entities_list"
+        ),
+        F.count("*").alias("total_count"),
+        F.countDistinct("doc_id").alias("articles_spanned"),
+    )
+    return agg.withColumn(
+        "rnk",
+        F.rank().over(W.orderBy(F.desc("total_count"), "ent_id")).cast("bigint"),
+    )
+
+
+@register(
+    "kg_triples",
+    _LINKED_CTE
+    + """
+SELECT a.ent_name AS subj,
+       'co_occurs_with' AS pred,
+       b.ent_name AS obj,
+       a.doc_id, a.sent_idx,
+       a.pos AS subj_pos, b.pos AS obj_pos
+FROM linked a JOIN linked b
+  ON a.doc_id = b.doc_id AND a.sent_idx = b.sent_idx AND a.pos < b.pos
+""",
+)
+def q_kg_triples(spark, sf_dir):
+    lk = linked(spark, sf_dir)
+    a, b = lk.alias("a"), lk.alias("b")
+    return a.join(
+        b,
+        (F.col("a.doc_id") == F.col("b.doc_id"))
+        & (F.col("a.sent_idx") == F.col("b.sent_idx"))
+        & (F.col("a.pos") < F.col("b.pos")),
+    ).select(
+        F.col("a.ent_name").alias("subj"),
+        F.lit("co_occurs_with").alias("pred"),
+        F.col("b.ent_name").alias("obj"),
+        F.col("a.doc_id").alias("doc_id"),
+        F.col("a.sent_idx").alias("sent_idx"),
+        F.col("a.pos").alias("subj_pos"),
+        F.col("b.pos").alias("obj_pos"),
+    )
+
+
+@register(
+    "kg_triple_counts",
+    _LINKED_CTE
+    + """
+SELECT subj, pred, obj, n_cooccur,
+       CAST(RANK() OVER (ORDER BY n_cooccur DESC, subj, obj) AS BIGINT) AS rnk
+FROM (
+  SELECT a.ent_name AS subj, 'co_occurs_with' AS pred, b.ent_name AS obj,
+         CAST(count(*) AS BIGINT) AS n_cooccur
+  FROM linked a JOIN linked b
+    ON a.doc_id = b.doc_id AND a.sent_idx = b.sent_idx AND a.pos < b.pos
+  GROUP BY 1, 2, 3
+) t
+""",
+)
+def q_kg_triple_counts(spark, sf_dir):
+    t = QUERIES["kg_triples"](spark, sf_dir)
+    agg = t.groupBy("subj", "pred", "obj").agg(F.count("*").alias("n_cooccur"))
+    return agg.withColumn(
+        "rnk",
+        F.rank()
+        .over(W.orderBy(F.desc("n_cooccur"), "subj", "obj"))
+        .cast("bigint"),
+    )
+
+
+@register(
+    "kg_entity_search",
+    _SENTENCES_CTE
+    + f"""
+SELECT s.doc_id, s.sent_idx, s.sent_text
+FROM sentences s
+WHERE EXISTS (
+  SELECT 1 FROM toks t
+  WHERE t.doc_id = s.doc_id AND t.sent_idx = s.sent_idx
+    AND t.token IN ({', '.join(repr(t) for t in SEARCH_TERMS)})
+)
+""",
+)
+def q_kg_entity_search(spark, sf_dir):
+    hits = (
+        tokens(spark, sf_dir)
+        .filter(F.col("token").isin(SEARCH_TERMS))
+        .select("doc_id", "sent_idx")
+        .distinct()
+    )
+    return sentences(spark, sf_dir).join(hits, ["doc_id", "sent_idx"], "left_semi").select(
+        "doc_id", "sent_idx", "sent_text"
+    )
+
+
+@register(
+    "kg_doc_term_freq",
+    _MENTIONS_CTE
+    + """
+SELECT doc_id, surface, CAST(count(*) AS BIGINT) AS n,
+       CAST(ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY count(*) DESC, surface) AS BIGINT) AS rnk
+FROM mentions GROUP BY doc_id, surface
+""",
+)
+def q_kg_doc_term_freq(spark, sf_dir):
+    m = mentions(spark, sf_dir).groupBy("doc_id", "surface").agg(F.count("*").alias("n"))
+    return m.withColumn(
+        "rnk",
+        F.row_number()
+        .over(W.partitionBy("doc_id").orderBy(F.desc("n"), "surface"))
+        .cast("bigint"),
+    )
+
+
+@register(
+    "kg_batch_counters",
+    f"""
+SELECT CAST(doc_id % {N_BATCHES} AS INT) AS batch_id,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS n_tokens,
+       md5(string_agg(md5(text), '' ORDER BY md5(text))) AS batch_audit
+FROM documents
+GROUP BY 1
+""",
+)
+def q_kg_batch_counters(spark, sf_dir):
+    d = _read(spark, sf_dir, "documents")
+    return (
+        d.select(
+            F.expr(f"CAST(doc_id % {N_BATCHES} AS INT)").alias("batch_id"),
+            F.size(F.split("text", " ")).alias("n_tok"),
+            F.md5(F.col("text").cast("binary")).alias("h"),
+        )
+        .groupBy("batch_id")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_tok").cast("bigint").alias("n_tokens"),
+            F.md5(
+                F.array_join(F.array_sort(F.collect_list("h")), "").cast("binary")
+            ).alias("batch_audit"),
+        )
+    )
+
+
+# ----------------------- TPC-H relational plumbing -------------------------
+# These exercise the generic operator surface (S1/P1-P3/J/A/W/U in
+# SURVEY.md §2) on the star schema; money math goes through
+# DECIMAL(18,2) on both engines so sums are exact and hash-identical.
+
+
+@register(
+    "tpch_pricing_summary",
+    """
+SELECT l_returnflag, l_linestatus,
+       CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+       CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
+       CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS sum_disc_price,
+       CAST(count(*) AS BIGINT) AS count_order
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '2003-01-01 00:00:00'
+GROUP BY l_returnflag, l_linestatus
+""",
+)
+def q_tpch_pricing_summary(spark, sf_dir):
+    li = _read(spark, sf_dir, "lineitem")
+    d = lambda c: F.col(c).cast("decimal(18,2)")  # noqa: E731
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit("2003-01-01 00:00:00").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.sum(d("l_quantity")).cast("double").alias("sum_qty"),
+            F.sum(d("l_extendedprice")).cast("double").alias("sum_base_price"),
+            F.sum(d("l_extendedprice") * (F.lit(1) - d("l_discount")))
+            .cast("double")
+            .alias("sum_disc_price"),
+            F.count("*").alias("count_order"),
+        )
+    )
+
+
+@register(
+    "tpch_revenue_by_nation",
+    """
+SELECT n.n_name AS nation,
+       CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l.l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue,
+       CAST(count(*) AS BIGINT) AS n_lineitems
+FROM lineitem l
+JOIN orders o ON l.l_orderkey = o.o_orderkey
+JOIN customer c ON o.o_custkey = c.c_custkey
+JOIN nation n ON c.c_nationkey = n.n_nationkey
+GROUP BY n.n_name
+""",
+)
+def q_tpch_revenue_by_nation(spark, sf_dir):
+    li = _read(spark, sf_dir, "lineitem")
+    o = _read(spark, sf_dir, "orders")
+    c = _read(spark, sf_dir, "customer")
+    n = _read(spark, sf_dir, "nation")
+    d = lambda c_: F.col(c_).cast("decimal(18,2)")  # noqa: E731
+    # dims broadcast; the only real shuffle is lineitem⋈orders on orderkey
+    return (
+        li.join(o, li["l_orderkey"] == o["o_orderkey"])
+        .join(F.broadcast(c), o["o_custkey"] == c["c_custkey"])
+        .join(F.broadcast(n), c["c_nationkey"] == n["n_nationkey"])
+        .groupBy(F.col("n_name").alias("nation"))
+        .agg(
+            F.sum(d("l_extendedprice") * (F.lit(1) - d("l_discount")))
+            .cast("double")
+            .alias("revenue"),
+            F.count("*").alias("n_lineitems"),
+        )
+    )
+
+
+@register(
+    "tpch_semi_join_customers",
+    """
+SELECT c.c_custkey, c.c_name
+FROM customer c
+WHERE EXISTS (SELECT 1 FROM orders o
+              WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 300000)
+""",
+)
+def q_tpch_semi_join_customers(spark, sf_dir):
+    c = _read(spark, sf_dir, "customer")
+    o = _read(spark, sf_dir, "orders").filter(F.col("o_totalprice") > 300000)
+    return c.join(o, c["c_custkey"] == o["o_custkey"], "left_semi").select(
+        "c_custkey", "c_name"
+    )
+
+
+@register(
+    "tpch_anti_join_customers",
+    """
+SELECT c.c_custkey, c.c_mktsegment
+FROM customer c
+WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+""",
+)
+def q_tpch_anti_join_customers(spark, sf_dir):
+    c = _read(spark, sf_dir, "customer")
+    o = _read(spark, sf_dir, "orders")
+    return c.join(o, c["c_custkey"] == o["o_custkey"], "left_anti").select(
+        "c_custkey", "c_mktsegment"
+    )
+
+
+@register(
+    "tpch_topk_orders_per_segment",
+    """
+SELECT c_mktsegment, o_orderkey,
+       CAST(o_totalprice AS DOUBLE) AS o_totalprice, CAST(rnk AS BIGINT) AS rnk
+FROM (
+  SELECT c.c_mktsegment, o.o_orderkey, o.o_totalprice,
+         ROW_NUMBER() OVER (PARTITION BY c.c_mktsegment
+                            ORDER BY o.o_totalprice DESC, o.o_orderkey) AS rnk
+  FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+) t WHERE rnk <= 5
+""",
+)
+def q_tpch_topk_orders_per_segment(spark, sf_dir):
+    o = _read(spark, sf_dir, "orders")
+    c = _read(spark, sf_dir, "customer")
+    w = W.partitionBy("c_mktsegment").orderBy(F.desc("o_totalprice"), "o_orderkey")
+    return (
+        o.join(F.broadcast(c), o["o_custkey"] == c["c_custkey"])
+        .select("c_mktsegment", "o_orderkey", F.col("o_totalprice").cast("double"))
+        .withColumn("rnk", F.row_number().over(w).cast("bigint"))
+        .filter(F.col("rnk") <= 5)
+    )
+
+
+@register(
+    "tpch_running_total",
+    """
+SELECT o_custkey, o_orderkey,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) OVER (
+         PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS running_total
+FROM orders
+""",
+)
+def q_tpch_running_total(spark, sf_dir):
+    o = _read(spark, sf_dir, "orders")
+    w = (
+        W.partitionBy("o_custkey")
+        .orderBy("o_orderdate", "o_orderkey")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    return o.select(
+        "o_custkey",
+        "o_orderkey",
+        F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+        .over(w)
+        .cast("double")
+        .alias("running_total"),
+    )
+
+
+# ------------------------------ events table -------------------------------
+
+
+@register(
+    "events_latest_per_user",
+    """
+SELECT user_id, event_id, event_type, CAST(epoch_us(ts) AS BIGINT) AS ts_us
+FROM (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
+  FROM events
+) t WHERE rn = 1
+""",
+)
+def q_events_latest_per_user(spark, sf_dir):
+    e = _read(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy(F.desc("ts"), F.desc("event_id"))
+    return (
+        e.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("user_id", "event_id", "event_type", F.unix_micros(F.col("ts").cast("timestamp")).alias("ts_us"))
+    )
+
+
+@register(
+    "events_sessionize",
+    """
+SELECT user_id,
+       CAST(count(*) AS BIGINT) AS n_events,
+       CAST(SUM(is_new) AS BIGINT) AS n_sessions
+FROM (
+  SELECT user_id,
+         CASE WHEN epoch_us(ts) - LAG(epoch_us(ts)) OVER
+                (PARTITION BY user_id ORDER BY ts, event_id) > 1800000000
+              OR LAG(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+              THEN 1 ELSE 0 END AS is_new
+  FROM events
+) t GROUP BY user_id
+""",
+)
+def q_events_sessionize(spark, sf_dir):
+    e = _read(spark, sf_dir, "events").withColumn("us", F.unix_micros(F.col("ts").cast("timestamp")))
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    gap = F.col("us") - F.lag("us").over(w)
+    return (
+        e.withColumn(
+            "is_new",
+            F.when(gap.isNull() | (gap > 1_800_000_000), 1).otherwise(0),
+        )
+        .groupBy("user_id")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.sum("is_new").cast("bigint").alias("n_sessions"),
+        )
+    )
+
+
+@register(
+    "events_tumbling_hourly",
+    """
+SELECT CAST(epoch_us(date_trunc('hour', ts)) AS BIGINT) AS hour_us,
+       event_type,
+       CAST(count(*) AS BIGINT) AS n,
+       CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS total_value
+FROM events GROUP BY 1, 2
+""",
+)
+def q_events_tumbling_hourly(spark, sf_dir):
+    e = _read(spark, sf_dir, "events")
+    return (
+        e.groupBy(
+            F.unix_micros(F.date_trunc("hour", F.col("ts").cast("timestamp"))).alias("hour_us"), "event_type"
+        )
+        .agg(
+            F.count("*").alias("n"),
+            F.sum(F.col("value").cast("decimal(18,6)"))
+            .cast("double")
+            .alias("total_value"),
+        )
+    )
+
+
+@register(
+    "events_error_band_join",
+    """
+SELECT a.user_id, a.event_id AS error_id, b.event_id AS near_id, b.event_type AS near_type
+FROM events a JOIN events b
+  ON a.user_id = b.user_id
+ AND a.event_type = 'error' AND b.event_id <> a.event_id
+ AND epoch_us(b.ts) BETWEEN epoch_us(a.ts) - 60000000 AND epoch_us(a.ts) + 60000000
+""",
+)
+def q_events_error_band_join(spark, sf_dir):
+    e = _read(spark, sf_dir, "events").withColumn("us", F.unix_micros(F.col("ts").cast("timestamp")))
+    a = e.filter(F.col("event_type") == "error").alias("a")
+    b = e.alias("b")
+    return a.join(
+        b,
+        (F.col("a.user_id") == F.col("b.user_id"))
+        & (F.col("b.event_id") != F.col("a.event_id"))
+        & (F.col("b.us") >= F.col("a.us") - 60_000_000)
+        & (F.col("b.us") <= F.col("a.us") + 60_000_000),
+    ).select(
+        F.col("a.user_id").alias("user_id"),
+        F.col("a.event_id").alias("error_id"),
+        F.col("b.event_id").alias("near_id"),
+        F.col("b.event_type").alias("near_type"),
+    )
+
+
+# ------------------- training-data pipeline operators ----------------------
+# First-class at 100 TB: dedup (exact / Jaccard / MinHash-LSH), document
+# quality + language scoring, fingerprinting, embedding similarity search.
+
+
+@register(
+    "dedup_exact",
+    """
+SELECT md5(text) AS text_hash,
+       CAST(count(*) AS BIGINT) AS n_dups,
+       CAST(min(doc_id) AS BIGINT) AS keeper_doc_id
+FROM documents GROUP BY md5(text) HAVING count(*) > 1
+""",
+)
+def q_dedup_exact(spark, sf_dir):
+    d = _read(spark, sf_dir, "documents")
+    return (
+        d.select("doc_id", F.md5(F.col("text").cast("binary")).alias("text_hash"))
+        .groupBy("text_hash")
+        .agg(
+            F.count("*").alias("n_dups"),
+            F.min("doc_id").cast("bigint").alias("keeper_doc_id"),
+        )
+        .filter(F.col("n_dups") > 1)
+    )
+
+
+@register(
+    "dedup_jaccard",
+    _SHINGLES_CTE
+    + """,
+ds AS (SELECT DISTINCT doc_id, shingle FROM shingles),
+sizes AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n FROM ds GROUP BY doc_id),
+inter AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, CAST(count(*) AS BIGINT) AS n_inter
+  FROM ds a JOIN ds b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+)
+SELECT i.doc_a, i.doc_b, i.n_inter,
+       sa.n + sb.n - i.n_inter AS n_union,
+       round(CAST(i.n_inter AS DOUBLE) / (sa.n + sb.n - i.n_inter), 6) AS jaccard
+FROM inter i
+JOIN sizes sa ON i.doc_a = sa.doc_id
+JOIN sizes sb ON i.doc_b = sb.doc_id
+WHERE CAST(i.n_inter AS DOUBLE) / (sa.n + sb.n - i.n_inter) >= 0.5
+""",
+)
+def q_dedup_jaccard(spark, sf_dir):
+    ds = shingles(spark, sf_dir).distinct()
+    sizes = ds.groupBy("doc_id").agg(F.count("*").alias("n"))
+    a = ds.alias("a")
+    b = ds.alias("b")
+    inter = (
+        a.join(
+            b,
+            (F.col("a.shingle") == F.col("b.shingle"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .groupBy(
+            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+        )
+        .agg(F.count("*").alias("n_inter"))
+    )
+    sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n").alias("na"))
+    sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n").alias("nb"))
+    jac = F.col("n_inter").cast("double") / (
+        F.col("na") + F.col("nb") - F.col("n_inter")
+    )
+    return (
+        inter.join(F.broadcast(sa), "doc_a")
+        .join(F.broadcast(sb), "doc_b")
+        .withColumn("n_union", F.col("na") + F.col("nb") - F.col("n_inter"))
+        .filter(jac >= 0.5)
+        .select(
+            "doc_a",
+            "doc_b",
+            "n_inter",
+            "n_union",
+            F.round(
+                F.col("n_inter").cast("double") / F.col("n_union"), 6
+            ).alias("jaccard"),
+        )
+    )
+
+
+def _minhash_sig_exprs_sql() -> str:
+    return ", ".join(
+        f"min(md5('{s}|' || shingle)) AS h{s}" for s in range(MINHASH_SEEDS)
+    )
+
+
+@register(
+    "dedup_minhash_pairs",
+    _SHINGLES_CTE
+    + f""",
+sigs AS (
+  SELECT doc_id, {_minhash_sig_exprs_sql()}
+  FROM shingles GROUP BY doc_id
+),
+bands AS (
+  SELECT doc_id, unnest([md5(h0 || h1 || h2 || h3), md5(h4 || h5 || h6 || h7)]) AS band_hash,
+         unnest([0, 1]) AS band_id
+  FROM sigs
+)
+SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+FROM bands a JOIN bands b
+  ON a.band_hash = b.band_hash AND a.band_id = b.band_id AND a.doc_id < b.doc_id
+""",
+)
+def q_dedup_minhash_pairs(spark, sf_dir):
+    """MinHash-LSH candidate pairs: the scale path for near-dup detection.
+
+    Signature = MINHASH_SEEDS min-hashes over trigram shingles; banded
+    into 2 bands of 4 → equi-join on band hash only (no all-pairs).
+    md5 is used as the hash family so Spark and DuckDB agree bit-for-bit
+    (min over hex strings = lexicographic in both engines).
+    """
+    sh = shingles(spark, sf_dir)
+    sigs = sh.groupBy("doc_id").agg(
+        *[
+            F.min(F.md5(F.concat(F.lit(f"{s}|"), F.col("shingle")).cast("binary"))).alias(
+                f"h{s}"
+            )
+            for s in range(MINHASH_SEEDS)
+        ]
+    )
+    bands = sigs.select(
+        "doc_id",
+        F.explode(
+            F.array(
+                F.struct(
+                    F.md5(F.concat("h0", "h1", "h2", "h3").cast("binary")).alias(
+                        "band_hash"
+                    ),
+                    F.lit(0).alias("band_id"),
+                ),
+                F.struct(
+                    F.md5(F.concat("h4", "h5", "h6", "h7").cast("binary")).alias(
+                        "band_hash"
+                    ),
+                    F.lit(1).alias("band_id"),
+                ),
+            )
+        ).alias("b"),
+    ).select("doc_id", "b.band_hash", "b.band_id")
+    a, b = bands.alias("a"), bands.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.band_hash") == F.col("b.band_hash"))
+            & (F.col("a.band_id") == F.col("b.band_id"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+        )
+        .distinct()
+    )
+
+
+@register(
+    "doc_quality_scores",
+    _TOKS_CTE
+    + """
+SELECT doc_id,
+       CAST(count(*) AS BIGINT) AS n_tokens,
+       CAST(count(DISTINCT token) AS BIGINT) AS n_distinct,
+       round(CAST(count(DISTINCT token) AS DOUBLE) / count(*), 6) AS ttr,
+       round(CAST(SUM(len(token)) AS DOUBLE) / count(*), 6) AS avg_token_len,
+       CAST(max(len(token)) AS BIGINT) AS max_token_len
+FROM toks GROUP BY doc_id
+""",
+)
+def q_doc_quality_scores(spark, sf_dir):
+    t = tokens(spark, sf_dir)
+    return t.groupBy("doc_id").agg(
+        F.count("*").alias("n_tokens"),
+        F.countDistinct("token").alias("n_distinct"),
+        F.round(
+            F.countDistinct("token").cast("double") / F.count("*"), 6
+        ).alias("ttr"),
+        F.round(
+            F.sum(F.length("token")).cast("double") / F.count("*"), 6
+        ).alias("avg_token_len"),
+        F.max(F.length("token")).cast("bigint").alias("max_token_len"),
+    )
+
+
+@register(
+    "lang_id_stopword",
+    _TOKS_CTE
+    + f"""
+SELECT t.doc_id,
+       CAST(SUM(CASE WHEN token IN ({', '.join(repr(s) for s in STOPWORDS)}) THEN 1 ELSE 0 END) AS BIGINT) AS n_stop,
+       CAST(count(*) AS BIGINT) AS n_tokens,
+       CASE WHEN SUM(CASE WHEN token IN ({', '.join(repr(s) for s in STOPWORDS)}) THEN 1 ELSE 0 END) * 20 >= count(*)
+            THEN 'en' ELSE 'other' END AS pred_lang,
+       min(d.lang) AS lang
+FROM toks t JOIN documents d ON t.doc_id = d.doc_id
+GROUP BY t.doc_id
+""",
+)
+def q_lang_id_stopword(spark, sf_dir):
+    t = tokens(spark, sf_dir)
+    d = _read(spark, sf_dir, "documents").select("doc_id", "lang")
+    is_stop = F.when(F.col("token").isin(STOPWORDS), 1).otherwise(0)
+    agg = (
+        t.join(d, "doc_id")
+        .groupBy("doc_id")
+        .agg(
+            F.sum(is_stop).cast("bigint").alias("n_stop"),
+            F.count("*").alias("n_tokens"),
+            F.min("lang").alias("lang"),
+        )
+    )
+    # integer-only predicate: stopword ratio >= 1/20 (no float compare)
+    return agg.withColumn(
+        "pred_lang",
+        F.when(F.col("n_stop") * 20 >= F.col("n_tokens"), "en").otherwise("other"),
+    ).select("doc_id", "n_stop", "n_tokens", "pred_lang", "lang")
+
+
+@register(
+    "doc_fingerprint",
+    _SHINGLES_CTE
+    + """
+SELECT doc_id,
+       min(md5(shingle)) AS fingerprint,
+       CAST(count(DISTINCT shingle) AS BIGINT) AS n_shingles
+FROM shingles GROUP BY doc_id
+""",
+)
+def q_doc_fingerprint(spark, sf_dir):
+    """Winnowing-style document fingerprint: min-hash of trigram shingles
+    (rolling-hash analog with a cross-engine-stable hash)."""
+    sh = shingles(spark, sf_dir)
+    return sh.groupBy("doc_id").agg(
+        F.min(F.md5(F.col("shingle").cast("binary"))).alias("fingerprint"),
+        F.countDistinct("shingle").alias("n_shingles"),
+    )
+
+
+@register(
+    "token_count_estimate",
+    """
+SELECT doc_id,
+       CAST(len(string_split(text, ' ')) AS BIGINT) AS n_ws_tokens,
+       CAST(ceil(length(text) / 4.0) AS BIGINT) AS n_bpe_estimate,
+       CAST(length(text) AS BIGINT) AS n_chars
+FROM documents
+""",
+)
+def q_token_count_estimate(spark, sf_dir):
+    d = _read(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        F.size(F.split("text", " ")).cast("bigint").alias("n_ws_tokens"),
+        F.ceil(F.length("text") / 4.0).cast("bigint").alias("n_bpe_estimate"),
+        F.length("text").cast("bigint").alias("n_chars"),
+    )
+
+
+# --------------------- embedding similarity search -------------------------
+
+
+@register(
+    "embed_knn_bruteforce",
+    f"""
+WITH q AS (
+  SELECT vec_id AS qid, unnest(embedding) AS qv,
+         unnest(range(len(embedding))) AS pos
+  FROM embeddings WHERE vec_id < {KNN_QUERIES}
+),
+c AS (
+  SELECT vec_id AS cid, unnest(embedding) AS cv,
+         unnest(range(len(embedding))) AS pos
+  FROM embeddings
+),
+dots AS (
+  SELECT q.qid, c.cid,
+         SUM(CAST(q.qv AS DOUBLE) * CAST(c.cv AS DOUBLE)) AS dot,
+         SUM(CAST(q.qv AS DOUBLE) * CAST(q.qv AS DOUBLE)) AS qq,
+         SUM(CAST(c.cv AS DOUBLE) * CAST(c.cv AS DOUBLE)) AS cc
+  FROM q JOIN c ON q.pos = c.pos AND q.qid <> c.cid
+  GROUP BY q.qid, c.cid
+),
+ranked AS (
+  SELECT qid, cid, round(dot / sqrt(qq * cc), 6) AS cosine,
+         ROW_NUMBER() OVER (PARTITION BY qid
+                            ORDER BY round(dot / sqrt(qq * cc), 6) DESC, cid) AS rnk
+  FROM dots
+)
+SELECT qid, cid, cosine, CAST(rnk AS BIGINT) AS rnk FROM ranked WHERE rnk <= {KNN_K}
+""",
+)
+def q_embed_knn_bruteforce(spark, sf_dir):
+    """Brute-force cosine top-k: the exactness baseline for ANN.
+
+    The query side (vec_id < KNN_QUERIES) is tiny → broadcast; the dot
+    product runs JVM-side via zip_with + aggregate (no UDF, stays in
+    whole-stage codegen)."""
+    e = _read(spark, sf_dir, "embeddings")
+    q = e.filter(F.col("vec_id") < KNN_QUERIES).select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("qe")
+    )
+    c = e.select(F.col("vec_id").alias("cid"), F.col("embedding").alias("ce"))
+    dot = F.expr(
+        "aggregate(zip_with(qe, ce, (x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)),"
+        " 0D, (acc, v) -> acc + v)"
+    )
+    qq = F.expr(
+        "aggregate(transform(qe, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)),"
+        " 0D, (acc, v) -> acc + v)"
+    )
+    cc = F.expr(
+        "aggregate(transform(ce, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)),"
+        " 0D, (acc, v) -> acc + v)"
+    )
+    pairs = F.broadcast(q).join(c, F.col("qid") != F.col("cid"))
+    scored = pairs.select(
+        "qid",
+        "cid",
+        F.round(dot / F.sqrt(qq * cc), 6).alias("cosine"),
+    )
+    w = W.partitionBy("qid").orderBy(F.desc("cosine"), "cid")
+    return (
+        scored.withColumn("rnk", F.row_number().over(w).cast("bigint"))
+        .filter(F.col("rnk") <= KNN_K)
+    )
+
+
+def _lsh_plane_sql() -> str:
+    # deterministic ±1 hyperplane coefficients from md5 parity — identical
+    # in both engines (ascii of first hex char of md5("p|d"))
+    return (
+        "CASE WHEN ascii(substring(md5(CAST(plane AS VARCHAR) || '|' ||"
+        " CAST(pos AS VARCHAR)), 1, 1)) % 2 = 0 THEN 1 ELSE -1 END"
+    )
+
+
+@register(
+    "embed_lsh_buckets",
+    f"""
+WITH v AS (
+  SELECT vec_id, unnest(embedding) AS val, unnest(range(len(embedding))) AS pos
+  FROM embeddings
+),
+proj AS (
+  SELECT vec_id, plane,
+         SUM(CAST(val AS DOUBLE) * ({_lsh_plane_sql()})) AS p
+  FROM v, generate_series(0, {LSH_PLANES - 1}) s(plane)
+  GROUP BY vec_id, plane
+),
+bits AS (
+  SELECT vec_id, CAST(SUM(CASE WHEN p >= 0 THEN 1 << CAST(plane AS INT) ELSE 0 END) AS BIGINT) AS bucket
+  FROM proj GROUP BY vec_id
+)
+SELECT bucket, CAST(count(*) AS BIGINT) AS n_vecs,
+       CAST(min(vec_id) AS BIGINT) AS min_vec_id
+FROM bits GROUP BY bucket
+""",
+)
+def q_embed_lsh_buckets(spark, sf_dir):
+    """Random-hyperplane LSH bucketing: the scale path for ANN — bucket
+    first, then search within buckets (candidate set ≪ corpus)."""
+    e = _read(spark, sf_dir, "embeddings")
+    v = e.select(
+        "vec_id", F.posexplode(F.col("embedding")).alias("pos", "val")
+    )
+    planes = F.explode(F.sequence(F.lit(0), F.lit(LSH_PLANES - 1))).alias("plane")
+    coef = F.expr(
+        "CASE WHEN ascii(substring(md5(CAST(plane AS STRING) || '|' ||"
+        " CAST(pos AS STRING)), 1, 1)) % 2 = 0 THEN 1 ELSE -1 END"
+    )
+    proj = (
+        v.select("vec_id", "pos", "val", planes)
+        .groupBy("vec_id", "plane")
+        .agg(F.sum(F.col("val").cast("double") * coef).alias("p"))
+    )
+    bits = proj.groupBy("vec_id").agg(
+        F.sum(F.expr("CASE WHEN p >= 0 THEN shiftleft(1, plane) ELSE 0 END"))
+        .cast("bigint")
+        .alias("bucket")
+    )
+    return bits.groupBy("bucket").agg(
+        F.count("*").alias("n_vecs"),
+        F.min("vec_id").cast("bigint").alias("min_vec_id"),
+    )
+
+
+@register(
+    "multimodal_blob_meta",
+    """
+SELECT doc_id,
+       CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+       md5(text) AS payload_md5,
+       substring(text, 1, 16) AS head_preview
+FROM documents
+""",
+)
+def q_multimodal_blob_meta(spark, sf_dir):
+    """Opaque-binary plumbing: treat the payload as a blob, compute typed
+    metadata JVM-side. The decode/feature-extract step for real
+    image/audio payloads lives in easyner_spark.ops.multimodal (Pandas
+    UDF over mapInPandas, stubbed — libs not in this container)."""
+    d = _read(spark, sf_dir, "documents")
+    blob = F.encode(F.col("text"), "utf-8")
+    return d.select(
+        "doc_id",
+        F.octet_length(blob).cast("bigint").alias("n_bytes"),
+        F.md5(blob).alias("payload_md5"),
+        F.substring("text", 1, 16).alias("head_preview"),
+    )

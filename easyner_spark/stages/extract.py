@@ -18,7 +18,7 @@ from __future__ import annotations
 import pandas as pd
 from pyspark.sql import DataFrame, functions as F, types as T
 
-from ..textops import extract_html, normalize_text
+from ..textops import extract_html, extract_title
 
 _EXTRACT_SCHEMA = T.StructType(
     [
@@ -44,8 +44,10 @@ def _extract_udf(html: pd.Series) -> pd.DataFrame:
 
 @F.pandas_udf(T.StringType())
 def _title_udf(html: pd.Series) -> pd.Series:
+    # title-only probe: the pass-through branch (usually dominant) must
+    # not pay the full body-extraction regex cost
     return pd.Series(
-        [extract_html(bytes(b))[0] if b is not None else "" for b in html]
+        [extract_title(bytes(b)) if b is not None else "" for b in html]
     )
 
 

@@ -45,10 +45,13 @@ def link_entities(
         F.broadcast(lk), mentions["surface"] == lk["entity"], "left"
     ).drop("entity")
 
+    # misses from the pre-distinct surface set (partial-agg shuffles only
+    # |vocab| rows) anti-joined against the dimension — cheaper than
+    # re-deriving the full fact join a second time
     misses = (
-        joined.filter(F.col("ent_id").isNull())
-        .select("surface")
+        mentions.select("surface")
         .distinct()
+        .join(F.broadcast(lk.select(F.col("entity").alias("surface"))), "surface", "left_anti")
         .withColumn(
             "mint_id",
             F.concat(

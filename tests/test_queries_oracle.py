@@ -1,0 +1,34 @@
+"""Cross-engine check of every driver-contract query vs its DuckDB
+oracle at sf0.001 (the driver itself runs sf0.01 — same code path)."""
+
+import os
+
+import pytest
+
+from easyner_spark.compare import compare_query
+from easyner_spark.queries import ORACLES, QUERIES
+
+SF_DIR = os.environ.get("SPARK_GRAFT_TEST_SF", "/root/testdata/sf0.001")
+
+
+def test_every_query_has_oracle():
+    assert set(ORACLES) == set(QUERIES)
+
+
+@pytest.mark.parametrize("name", sorted(QUERIES))
+def test_query_matches_duckdb(spark, name):
+    diff = compare_query(spark, SF_DIR, name, QUERIES[name], ORACLES[name])
+    assert diff is None, diff
+
+
+def test_entry_smoke(spark):
+    import importlib.util
+
+    spec = importlib.util.spec_from_file_location(
+        "__spark_entry__", os.path.join(os.path.dirname(__file__), "..", "__spark_entry__.py")
+    )
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    df = mod.entry(spark)
+    assert df.count() >= 0
+    assert set(mod.oracle_sql()) <= set(mod.queries())
