@@ -1,0 +1,148 @@
+"""Iceberg-style checkpointing catalog (partitioned parquet + atomic
+per-partition commit manifests).
+
+Reference analog: EasyNER's unit of checkpointing is the batch FILE —
+a re-run skips/overwrites whole files and `append_to_json_file` merges
+idempotently (scripts/util.py:12-23, SURVEY.md §2.1 S7). The target
+contract requires: every stage checkpoints so a killed job resumes
+from the last committed partition, with per-partition lineage and
+counter metrics.
+
+Real Apache Iceberg needs its runtime jar on the classpath (not in
+this image — the catalog is import-try gated via ``use_iceberg``);
+this class reproduces the two Iceberg properties the pipeline relies
+on with plain parquet:
+
+* ATOMIC per-partition commits: data for each ``batch_id`` partition
+  is written via dynamic partition overwrite, then the manifest is
+  swapped with os.replace (atomic on POSIX) — a crash between the two
+  leaves re-doable partitions, never half-visible ones;
+* SNAPSHOT lineage: each commit appends a snapshot entry recording the
+  batches committed and their counter metrics (row count + order-
+  insensitive content hash), so `history()` is an audit log and
+  `counters()` is the per-partition metrics table (A6 analog,
+  scripts/pubmed_bulk.py:59-87).
+
+Resume semantics: ``write_stage`` computes only the NOT-yet-committed
+partitions (partition-pruned anti-filter on batch_id, which Catalyst
+pushes into the source scan) — re-running a finished stage is a no-op.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+
+class CheckpointCatalog:
+    def __init__(self, root: str, use_iceberg: bool = False):
+        self.root = root
+        os.makedirs(root, exist_ok=True)
+        if use_iceberg:
+            raise NotImplementedError(
+                "Apache Iceberg runtime jar is not on the classpath in this "
+                "image; on a real cluster pass spark.jars.packages="
+                "org.apache.iceberg:iceberg-spark-runtime-... and swap this "
+                "class for the iceberg catalog"
+            )
+
+    # ------------------------------------------------------------------
+    def _stage_dir(self, stage: str) -> str:
+        return os.path.join(self.root, stage)
+
+    def _manifest_path(self, stage: str) -> str:
+        return os.path.join(self.root, f"{stage}._manifest.json")
+
+    def _load_manifest(self, stage: str) -> dict:
+        p = self._manifest_path(stage)
+        if not os.path.exists(p):
+            return {"stage": stage, "snapshots": []}
+        with open(p) as f:
+            return json.load(f)
+
+    def _store_manifest(self, stage: str, manifest: dict) -> None:
+        p = self._manifest_path(stage)
+        tmp = p + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump(manifest, f, indent=1)
+        os.replace(tmp, p)  # atomic snapshot swap
+
+    # ------------------------------------------------------------------
+    def committed_batches(self, stage: str) -> set[int]:
+        man = self._load_manifest(stage)
+        out: set[int] = set()
+        for snap in man["snapshots"]:
+            out.update(int(b) for b in snap["counters"])
+        return out
+
+    def write_stage(
+        self,
+        df: DataFrame,
+        stage: str,
+        partition_col: str = "batch_id",
+    ) -> dict:
+        """Commit all not-yet-committed partitions of ``df``; returns the
+        snapshot entry ({} if everything was already committed)."""
+        done = self.committed_batches(stage)
+        pending = df
+        if done:
+            # partition-pruned resume filter (pushed into the scan)
+            pending = df.filter(~F.col(partition_col).isin(*sorted(done)))
+
+        # counters BEFORE the write (same plan feeds both via cache)
+        pending = pending.persist()
+        counters = {
+            int(r[partition_col]): {
+                "rows": r["rows"],
+                "content_hash": r["content_hash"],
+            }
+            for r in pending.groupBy(partition_col)
+            .agg(
+                F.count("*").alias("rows"),
+                F.expr(
+                    "bit_xor(xxhash64(concat_ws(char(31), *)))"
+                ).alias("content_hash"),
+            )
+            .collect()
+        }
+        if not counters:
+            pending.unpersist()
+            return {}
+
+        (
+            pending.write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy(partition_col)
+            .parquet(self._stage_dir(stage))
+        )
+        pending.unpersist()
+
+        man = self._load_manifest(stage)
+        snap = {
+            "snapshot_id": len(man["snapshots"]),
+            "ts": time.time(),
+            "counters": {str(k): v for k, v in counters.items()},
+        }
+        man["snapshots"].append(snap)
+        self._store_manifest(stage, man)
+        return snap
+
+    def read_stage(self, spark: SparkSession, stage: str) -> DataFrame:
+        df = spark.read.parquet(self._stage_dir(stage))
+        done = self.committed_batches(stage)
+        # only committed partitions are visible (a crashed write's orphan
+        # partition directories are filtered out = snapshot isolation)
+        return df.filter(F.col("batch_id").isin(*sorted(done))) if done else df
+
+    def counters(self, stage: str) -> dict[int, dict]:
+        out: dict[int, dict] = {}
+        for snap in self._load_manifest(stage)["snapshots"]:
+            for b, c in snap["counters"].items():
+                out[int(b)] = c
+        return out
+
+    def history(self, stage: str) -> list[dict]:
+        return self._load_manifest(stage)["snapshots"]

@@ -1,0 +1,172 @@
+"""End-to-end KG pipeline orchestration (the `main.py` analog).
+
+Reference analog: main.py:279-409 — a hard-coded stage chain gated by
+a config ``ignore`` map, with per-stage wall-clock bookkeeping
+(timekeep.txt, main.py:288-292). Here each stage is a lazy DataFrame
+transformation; stage boundaries are CheckpointCatalog commits
+(partitioned parquet + manifest = resumable snapshots), and the
+timings/counters are returned as a lineage report instead of a text
+file.
+
+Run on a cluster:
+    spark-submit --py-files easyner_spark.zip -m easyner_spark.pipeline \
+        --input pages_parquet_or_iceberg --warehouse /path/wh
+
+(in this sandbox: ``python -m easyner_spark.pipeline --n-docs 2000
+--warehouse /tmp/wh`` uses the synthetic corpus).
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import time
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from .corpus import GAZETTEER, NEL_LOOKUP, pages_df
+from .io.catalog import CheckpointCatalog
+from .stages.analysis import entity_frequency, id_frequency
+from .stages.canonical import canonicalize_entities
+from .stages.extract import audit_hashes, extract_documents
+from .stages.merge import resolve_conflicts
+from .stages.ner_dict import dict_ner
+from .stages.nel import link_entities
+from .stages.split import split_documents
+from .stages.triples import cooccurrence_triples
+
+
+def run_pipeline(
+    spark: SparkSession,
+    pages: DataFrame,
+    warehouse: str,
+    gazetteer=None,
+    nel_lookup=None,
+    n_batches: int = 64,
+    canonicalize: bool = True,
+    stages: set[str] | None = None,
+) -> dict:
+    """Execute (and checkpoint) the full chain; returns the lineage
+    report {stage: {sec, rows, batches}}. ``stages`` filters which
+    stages run (the reference's `ignore` map, inverted)."""
+    gazetteer = gazetteer if gazetteer is not None else GAZETTEER
+    nel_lookup = nel_lookup if nel_lookup is not None else NEL_LOOKUP
+    cat = CheckpointCatalog(warehouse)
+    report: dict[str, dict] = {}
+    want = stages or {
+        "documents",
+        "sentences",
+        "mentions",
+        "linked",
+        "canonical",
+        "triples",
+        "analysis",
+    }
+
+    def commit(name: str, df: DataFrame) -> DataFrame:
+        t0 = time.time()
+        snap = cat.write_stage(df, name)
+        rows = sum(c["rows"] for c in snap.get("counters", {}).values())
+        report[name] = {
+            "sec": round(time.time() - t0, 3),
+            "rows_committed": rows,
+            "batches_committed": len(snap.get("counters", {})),
+        }
+        return cat.read_stage(spark, name)
+
+    if "documents" in want:
+        docs = commit("documents", extract_documents(pages, n_batches=n_batches))
+        report["documents"]["audit"] = [
+            row.asDict() for row in audit_hashes(docs).orderBy("batch_id").collect()
+        ][:8]
+    else:
+        docs = cat.read_stage(spark, "documents")
+
+    sents = (
+        commit("sentences", split_documents(docs))
+        if "sentences" in want
+        else cat.read_stage(spark, "sentences")
+    )
+    mentions = (
+        commit("mentions", resolve_conflicts(dict_ner(sents, gazetteer)))
+        if "mentions" in want
+        else cat.read_stage(spark, "mentions")
+    )
+
+    if "linked" in want:
+        lookup = spark.createDataFrame(
+            [{"entity": e, "id": i, "name": n} for e, i, n in nel_lookup]
+        )
+        linked, new_ents = link_entities(mentions, lookup)
+        linked = commit("linked", linked)
+        # U1: merge the minted dimension back (idempotent upsert analog)
+        cat.write_stage(
+            new_ents.withColumn("batch_id", F.lit(0)), "nel_new_entities"
+        )
+    else:
+        linked = cat.read_stage(spark, "linked")
+
+    if canonicalize and "canonical" in want:
+        ents = linked.select(
+            F.col("ent_id"), F.col("ent_name").alias("name")
+        ).distinct()
+        canon = canonicalize_entities(ents).withColumn("batch_id", F.lit(0))
+        cat.write_stage(canon, "canonical")
+        canon = cat.read_stage(spark, "canonical").drop("batch_id")
+        linked = linked.join(F.broadcast(canon), "ent_id", "left").withColumn(
+            "canon_id", F.coalesce("canon_id", "ent_id")
+        )
+    else:
+        linked = linked.withColumn("canon_id", F.col("ent_id"))
+
+    triples = (
+        commit("triples", cooccurrence_triples(linked, sents))
+        if "triples" in want
+        else cat.read_stage(spark, "triples")
+    )
+
+    if "analysis" in want:
+        freq = entity_frequency(mentions).withColumn(
+            "batch_id", F.lit(0)
+        )  # aggregate table: single logical partition
+        cat.write_stage(freq.drop("batch_count"), "entity_frequency")
+        idf = id_frequency(linked).withColumn("batch_id", F.lit(0))
+        cat.write_stage(idf.drop("batch_count"), "id_frequency")
+        report["analysis"] = {"done": True}
+
+    report["_totals"] = {
+        "triples": triples.count(),
+        "stages": sorted(report.keys()),
+    }
+    return report
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--input", default=None, help="pages parquet path (default: synthetic)")
+    ap.add_argument("--warehouse", required=True)
+    ap.add_argument("--n-docs", type=int, default=2000)
+    ap.add_argument("--n-batches", type=int, default=64)
+    ap.add_argument("--no-canonical", action="store_true")
+    args = ap.parse_args()
+
+    from .session import get_spark
+
+    spark = get_spark(app_name="easyner_pipeline")
+    pages = (
+        spark.read.parquet(args.input)
+        if args.input
+        else pages_df(spark, n_docs=args.n_docs)
+    )
+    report = run_pipeline(
+        spark,
+        pages,
+        args.warehouse,
+        n_batches=args.n_batches,
+        canonicalize=not args.no_canonical,
+    )
+    print(json.dumps(report, indent=2, default=str))
+
+
+if __name__ == "__main__":
+    main()

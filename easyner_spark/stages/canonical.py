@@ -1,0 +1,236 @@
+"""Stage 5 — entity canonicalization: MinHash-LSH blocking + connected
+components.
+
+No reference counterpart (EasyNER links surfaces only by exact lookup,
+scripts/nel.py:38) — this stage is mandated by the target contract:
+near-duplicate entity names ("SARS-CoV-2" / "sars cov 2" / "SARS CoV2")
+are blocked via MinHash-LSH over character-trigram shingles and merged
+into canonical ids via label-propagation connected components, with
+skew handled explicitly:
+
+* LSH pair generation is the classic banding scheme — candidate pairs
+  only within equal (band_idx, band_hash) buckets, never all-pairs;
+* hot buckets (stopword-like names at web scale) are SALTED: buckets
+  larger than ``max_bucket`` are split by a deterministic salt of the
+  entity id into sub-buckets of at most ``max_bucket`` before pair-gen,
+  bounding the quadratic fan-out per bucket (documented recall
+  trade-off; raise max_bucket to recover recall);
+* connected components use alternating min-label propagation with
+  pointer jumping (converges in O(log n) rounds on long chains) and a
+  ``localCheckpoint`` per round to keep lineage flat.
+
+Everything is built-in DataFrame ops (xxhash64, explode, joins, aggs)
+— no UDF anywhere in this stage.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+
+def _shingle_col(name_col, n: int = 3):
+    """Char n-gram shingles of normalized lower(name) as an array column
+    (pure JVM expression — sequence + substr, no UDF)."""
+    norm = F.lower(F.regexp_replace(name_col, r"[^A-Za-z0-9]+", " "))
+    norm = F.trim(F.regexp_replace(norm, r"\s+", " "))
+    padded = F.concat(F.lit("^"), norm, F.lit("$"))
+    return F.filter(
+        F.transform(
+            F.sequence(F.lit(1), F.greatest(F.length(padded) - (n - 1), F.lit(1))),
+            lambda i: padded.substr(i, F.lit(n)),
+        ),
+        lambda s: F.length(s) == n,
+    )
+
+
+def minhash_signatures(
+    entities: DataFrame,
+    id_col: str = "ent_id",
+    name_col: str = "name",
+    num_hashes: int = 12,
+    shingle_len: int = 3,
+) -> DataFrame:
+    """→ (ent_id, name, sig: array<bigint>) — one xxhash64 family member
+    per seed; min over the entity's shingle set."""
+    sh = entities.select(
+        id_col,
+        name_col,
+        F.explode(_shingle_col(F.col(name_col), shingle_len)).alias("shingle"),
+    ).distinct()
+    mins = [
+        F.min(F.xxhash64(F.lit(i), F.col("shingle"))).alias(f"h{i}")
+        for i in range(num_hashes)
+    ]
+    sig = sh.groupBy(id_col).agg(*mins, F.first(name_col).alias(name_col))
+    return sig.select(
+        id_col,
+        name_col,
+        F.array(*[F.col(f"h{i}") for i in range(num_hashes)]).alias("sig"),
+    )
+
+
+def lsh_candidate_pairs(
+    signatures: DataFrame,
+    id_col: str = "ent_id",
+    num_bands: int = 4,
+    max_bucket: int = 256,
+) -> DataFrame:
+    """Banded LSH: → (src, dst) candidate pairs (src < dst).
+
+    Buckets over ``max_bucket`` are salted into sub-buckets before the
+    self-join so a single hot bucket can never produce more than
+    ~max_bucket² pairs.
+    """
+    rows_per_band = None  # derived from sig length at runtime via slice
+    bands = signatures.select(
+        id_col,
+        F.posexplode(
+            F.expr(
+                f"transform(sequence(0, {num_bands - 1}),"
+                f" b -> xxhash64(b, array_join(slice(sig, b * (size(sig) DIV {num_bands}) + 1,"
+                f" size(sig) DIV {num_bands}), ',')))"
+            )
+        ).alias("band_idx", "band_hash"),
+    )
+    sizes = bands.groupBy("band_idx", "band_hash").agg(F.count("*").alias("cnt"))
+    bands = bands.join(sizes, ["band_idx", "band_hash"]).withColumn(
+        "salt",
+        F.when(
+            F.col("cnt") > max_bucket,
+            # band-dependent salt: each band splits a hot bucket
+            # DIFFERENTLY, so cross-sub-bucket pairs still appear in
+            # some other band and connected components restores the
+            # transitive closure of the hot cluster
+            F.pmod(
+                F.xxhash64(F.col("band_idx"), F.col(id_col)),
+                F.ceil(F.col("cnt") / max_bucket),
+            ),
+        ).otherwise(F.lit(0)),
+    )
+    a = bands.select(
+        F.col(id_col).alias("src"), "band_idx", "band_hash", "salt"
+    ).alias("a")
+    b = bands.select(
+        F.col(id_col).alias("dst"), "band_idx", "band_hash", "salt"
+    ).alias("b")
+    return (
+        a.join(b, ["band_idx", "band_hash", "salt"])
+        .filter(F.col("src") < F.col("dst"))
+        .select("src", "dst")
+        .distinct()
+    )
+
+
+def signature_similarity_filter(
+    pairs: DataFrame,
+    signatures: DataFrame,
+    id_col: str = "ent_id",
+    min_agreement: float = 0.5,
+) -> DataFrame:
+    """Keep pairs whose signatures agree on >= min_agreement of hashes —
+    the cheap MinHash estimate of Jaccard similarity (no shingle
+    re-shuffle)."""
+    s1 = signatures.select(F.col(id_col).alias("src"), F.col("sig").alias("sig_a"))
+    s2 = signatures.select(F.col(id_col).alias("dst"), F.col("sig").alias("sig_b"))
+    agree = F.expr(
+        "aggregate(zip_with(sig_a, sig_b, (x, y) -> CAST(x = y AS INT)),"
+        " 0, (acc, v) -> acc + v)"
+    )
+    return (
+        pairs.join(s1, "src")
+        .join(s2, "dst")
+        .withColumn("agreement", agree / F.size("sig_a"))
+        .filter(F.col("agreement") >= min_agreement)
+        .select("src", "dst", "agreement")
+    )
+
+
+def connected_components(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    max_iter: int = 25,
+) -> DataFrame:
+    """Min-label propagation with pointer jumping → (node, component).
+
+    component = lexicographic min node id in the component. Each round:
+    label(n) := min(label(n), min label over neighbors), then one
+    pointer-jump (label := label(label)) to halve chain depth; rounds
+    are localCheckpointed so the plan never grows.
+    """
+    e = (
+        edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
+        .union(edges.select(F.col(dst).alias("u"), F.col(src).alias("v")))
+        .distinct()
+        .localCheckpoint()
+    )
+    labels = (
+        e.select(F.col("u").alias("node"))
+        .distinct()
+        .withColumn("label", F.col("node"))
+        .localCheckpoint()
+    )
+    for _ in range(max_iter):
+        nbr_min = (
+            e.join(labels, e["u"] == labels["node"])
+            .select(F.col("v").alias("node"), "label")
+            .groupBy("node")
+            .agg(F.min("label").alias("nlabel"))
+        )
+        merged = (
+            labels.join(nbr_min, "node", "left")
+            .select(
+                "node",
+                F.least(F.col("label"), F.coalesce("nlabel", "label")).alias("label"),
+            )
+        )
+        # pointer jumping: label <- label's label
+        parent = merged.select(
+            F.col("node").alias("label"), F.col("label").alias("plabel")
+        )
+        jumped = (
+            merged.join(parent, "label", "left")
+            .select("node", F.coalesce("plabel", "label").alias("label"))
+            .localCheckpoint()
+        )
+        changed = (
+            jumped.alias("n")
+            .join(labels.alias("o"), "node")
+            .filter(F.col("n.label") != F.col("o.label"))
+            .limit(1)
+            .count()
+        )
+        labels = jumped
+        if changed == 0:
+            break
+    return labels.select("node", F.col("label").alias("component"))
+
+
+def canonicalize_entities(
+    entities: DataFrame,
+    id_col: str = "ent_id",
+    name_col: str = "name",
+    num_hashes: int = 12,
+    num_bands: int = 4,
+    min_agreement: float = 0.5,
+    max_bucket: int = 256,
+) -> DataFrame:
+    """Full canonicalization: → (ent_id, canon_id).
+
+    Entities whose names are near-duplicates share a canon_id (the min
+    ent_id of their component); everything else maps to itself
+    (identity canonicalization), so the stage is safe to insert even
+    when no merges fire.
+    """
+    sigs = minhash_signatures(entities, id_col, name_col, num_hashes)
+    pairs = lsh_candidate_pairs(sigs, id_col, num_bands, max_bucket)
+    verified = signature_similarity_filter(pairs, sigs, id_col, min_agreement)
+    comp = connected_components(verified.select("src", "dst"))
+    return (
+        entities.select(id_col)
+        .distinct()
+        .join(comp.withColumnRenamed("node", id_col), id_col, "left")
+        .select(
+            id_col, F.coalesce("component", F.col(id_col)).alias("canon_id")
+        )
+    )

@@ -1,0 +1,150 @@
+"""J2/J3 merge + F8 separator post-processing + N2 model-NER plumbing."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from easyner_spark.stages.merge import (
+    merge_mention_runs,
+    resolve_conflicts,
+    resolve_conflicts_py,
+)
+from easyner_spark.stages.ner_model import fake_tagger, transformer_ner
+from easyner_spark.stages.postprocess import merge_separated_py
+
+
+# ------------------------- conflict sweep (pure) ---------------------------
+
+
+def test_identical_span_priority():
+    rows = [("aspirin", 0, 6, "disease"), ("aspirin", 0, 6, "chemical")]
+    out = resolve_conflicts_py(rows)
+    assert out == [("aspirin", 0, 6, "chemical")]  # chemical outranks disease
+
+
+def test_contained_span_dropped():
+    rows = [("novel coronavirus", 4, 20, "species"), ("coronavirus", 10, 20, "species")]
+    assert resolve_conflicts_py(rows) == [("novel coronavirus", 4, 20, "species")]
+
+
+def test_partial_overlap_shorter_dropped():
+    rows = [("alpha beta", 0, 9, "gene"), ("beta gamma plus", 6, 20, "gene")]
+    out = resolve_conflicts_py(rows)
+    assert out == [("beta gamma plus", 6, 20, "gene")]
+
+
+def test_non_overlapping_survive():
+    rows = [("a1b2", 0, 3, "gene"), ("c3d4", 10, 13, "cell")]
+    assert resolve_conflicts_py(rows) == rows
+
+
+def test_resolve_conflicts_df(spark):
+    rows = [
+        # doc/sent with a conflict (contained span)
+        ("d1", 0, 0, 0, "novel coronavirus", 4, 20, "species", "dict"),
+        ("d1", 0, 0, 1, "coronavirus", 10, 20, "species", "dict"),
+        # singleton sentence — bypass path
+        ("d1", 0, 1, 0, "zinc", 0, 3, "chemical", "dict"),
+    ]
+    m = spark.createDataFrame(
+        rows,
+        "doc_id string, batch_id int, sent_idx int, mention_idx int,"
+        " surface string, begin int, end int, class string, source string",
+    )
+    out = resolve_conflicts(m).collect()
+    got = {(r["doc_id"], r["sent_idx"], r["surface"]) for r in out}
+    assert got == {("d1", 0, "novel coronavirus"), ("d1", 1, "zinc")}
+    # mention_idx re-assigned from 0 per sentence
+    assert all(r["mention_idx"] == 0 for r in out)
+
+
+def test_merge_mention_runs_union(spark):
+    a = spark.createDataFrame([("d1", 0, 0, 0, "x", 0, 1, "gene", "dict")],
+        "doc_id string, batch_id int, sent_idx int, mention_idx int,"
+        " surface string, begin int, end int, class string, source string")
+    b = spark.createDataFrame([("d1", 0, 0, 0, "y", 3, 4, "cell", "dict")],
+        "doc_id string, batch_id int, sent_idx int, mention_idx int,"
+        " surface string, begin int, end int, class string, source string")
+    assert merge_mention_runs(a, b).count() == 2
+    with pytest.raises(ValueError):
+        merge_mention_runs()
+
+
+# ----------------------- separator merge (pure, F8) ------------------------
+
+
+def test_separator_merge_rule3_adjacent_right():
+    #           0123456789
+    text = "IL-6 receptor"
+    ents = ["IL-", "6"]
+    spans = [(0, 3), (3, 4)]
+    out_e, out_s = merge_separated_py(ents, spans, text)
+    assert out_e == ["IL-6"] and out_s == [(0, 4)]
+
+
+def test_separator_merge_rule4_extend_right():
+    text = "the IL- pathway"
+    ents = ["IL-"]
+    spans = [(4, 7)]
+    out_e, out_s = merge_separated_py(ents, spans, text)
+    assert out_e == ["IL-"] and out_s == [(4, 7)]  # next char is space → no growth
+
+
+def test_separator_merge_rule2_extend_left():
+    text = "anti-TNF drug"
+    ents = ["-TNF"]
+    spans = [(4, 8)]
+    out_e, out_s = merge_separated_py(ents, spans, text)
+    assert out_e == ["anti-TNF"] and out_s == [(0, 8)]
+
+
+def test_separator_merge_rule5_one_char_gap():
+    text = "TSC1-TSC2 complex"
+    ents = ["TSC1", "TSC2"]
+    spans = [(0, 4), (5, 9)]
+    out_e, out_s = merge_separated_py(ents, spans, text)
+    assert out_e == ["TSC1-TSC2"] and out_s == [(0, 9)]
+
+
+def test_separator_merge_containment_cleanup():
+    text = "ACE2(receptor)"
+    ents = ["ACE2(", "receptor"]
+    spans = [(0, 5), (5, 13)]
+    out_e, out_s = merge_separated_py(ents, spans, text)
+    assert out_e == ["ACE2(receptor"] and out_s == [(0, 13)]
+
+
+# ------------------------- model NER plumbing (N2) -------------------------
+
+
+def test_fake_tagger_deterministic():
+    s = ["The ACE2 receptor binds remdesivir in cells."]
+    assert fake_tagger(s) == fake_tagger(s)
+    for ents in fake_tagger(s):
+        for word, start, end, cls, score in ents:
+            assert s[0][start:end].lower() == word  # exclusive spans
+            assert cls in {"gene", "disease", "chemical"}
+            assert 0.5 <= score <= 1.0
+
+
+def test_transformer_ner_plumbing(spark):
+    sents = spark.createDataFrame(
+        [
+            ("d1", 0, 0, "The ACE2 receptor binds remdesivir in cells."),
+            ("d2", 1, 0, "Completely different sentence with TMPRSS2 protein."),
+            ("d3", 1, 1, ""),  # empty sentence must not crash
+        ],
+        "doc_id string, batch_id int, sent_idx int, text string",
+    )
+    out = transformer_ner(sents, model_name="fake").collect()
+    assert all(r["source"] == "model" for r in out)
+    # inclusive-end normalization: surface == lower(slice)
+    by_key = {(r["doc_id"], r["sent_idx"]): r for r in out}
+    texts = {("d1", 0): "The ACE2 receptor binds remdesivir in cells.",
+             ("d2", 0): "Completely different sentence with TMPRSS2 protein."}
+    for r in out:
+        t = texts[(r["doc_id"], r["sent_idx"])]
+        assert t[r["begin"] : r["end"] + 1].lower() == r["surface"]
+    # unknown model without HF stack raises cleanly
+    with pytest.raises(Exception) as ei:
+        transformer_ner(sents, model_name="not-a-real-model").collect()
+    assert "NotImplementedError" in str(ei.value) or "transformers" in str(ei.value)
