@@ -54,10 +54,13 @@ def dict_ner(
         return pd.Series(match_terms_batch(sents, idx))
 
     exploded = F.posexplode if not keep_empty else F.posexplode_outer
+    # extra input columns (e.g. warc_ts in the streaming path) pass through
+    extras = [c for c in sentences.columns if c not in ("doc_id", "batch_id", "sent_idx", "text")]
     return sentences.select(
         "doc_id",
         "batch_id",
         "sent_idx",
+        *extras,
         exploded(_match_udf("text")).alias("mention_idx", "m"),
     ).select(
         "doc_id",
@@ -69,4 +72,5 @@ def dict_ner(
         F.col("m.end").alias("end"),
         F.col("m.class").alias("class"),
         F.lit(source).alias("source"),
+        *extras,
     )

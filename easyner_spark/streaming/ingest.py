@@ -1,0 +1,105 @@
+"""Structured Streaming incremental ingest.
+
+Reference analog: the nightly PubMed update files
+(scripts/pubmed_bulk.py:44-54, README.md:129-134) — new batch files
+appear in a folder and are folded into the corpus with last-write-wins
+dedup (scripts/util.py:12-23, downloader.py:68-79). Target design
+(SURVEY.md §2.9): new page files land in a directory (the stand-in for
+new Iceberg snapshots), are deduplicated by url under a watermark on
+``warc_ts`` (bounded state for late data), extracted with the SAME
+deterministic stage used in batch, and committed idempotently through
+``foreachBatch`` + CheckpointCatalog — a killed stream resumes from
+both the streaming checkpoint AND the last committed partition.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, functions as F, types as T
+
+from ..io.catalog import CheckpointCatalog
+from ..stages.extract import extract_documents
+
+PAGES_SCHEMA = T.StructType(
+    [
+        T.StructField("url", T.StringType(), False),
+        T.StructField("warc_ts", T.TimestampType(), False),
+        T.StructField("html", T.BinaryType(), True),
+        T.StructField("text", T.StringType(), True),
+        T.StructField("lang", T.StringType(), True),
+    ]
+)
+
+
+def read_page_stream(
+    spark: SparkSession,
+    input_dir: str,
+    watermark: str = "10 minutes",
+    max_files_per_trigger: int | None = None,
+) -> DataFrame:
+    """File-source stream of pages with watermarked url-dedup.
+
+    ``dropDuplicates(url, warc_ts)`` under the watermark keeps dedup
+    state bounded — late re-crawls beyond the watermark age are
+    accepted as new versions (documented divergence from unbounded
+    exact dedup, which cannot exist at 10^12 docs).
+    """
+    reader = spark.readStream.schema(PAGES_SCHEMA)
+    if max_files_per_trigger:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    raw = reader.parquet(input_dir)
+    return raw.withWatermark("warc_ts", watermark).dropDuplicates(["url", "warc_ts"])
+
+
+def start_ingest(
+    spark: SparkSession,
+    input_dir: str,
+    warehouse: str,
+    checkpoint_dir: str,
+    n_batches: int = 64,
+    lang_filter: str | None = "en",
+):
+    """Continuous pages→documents ingest; exactly-once via foreachBatch
+    into the partition-idempotent catalog. Returns the StreamingQuery
+    (caller drives trigger/stop; tests use processAllAvailable())."""
+    cat = CheckpointCatalog(warehouse)
+    pages = read_page_stream(spark, input_dir)
+
+    def sink(batch_df: DataFrame, epoch_id: int) -> None:
+        docs = extract_documents(batch_df, n_batches=n_batches, lang_filter=lang_filter)
+        # append-style commit: allow new rows for already-seen batches by
+        # keying the stage per epoch (each epoch is an atomic snapshot)
+        cat.write_stage(docs, f"documents_epoch{epoch_id:06d}")
+
+    return (
+        pages.writeStream.foreachBatch(sink)
+        .option("checkpointLocation", checkpoint_dir)
+        .outputMode("update")
+        .start()
+    )
+
+
+def streaming_entity_counts(
+    pages: DataFrame,
+    gazetteer: dict[str, str] | list[tuple[str, str]],
+    window: str = "1 hour",
+    watermark: str = "30 minutes",
+) -> DataFrame:
+    """Windowed streaming aggregate: entity mentions per event-time
+    window (the streaming twin of A1). Works on the page stream
+    directly: extract → split → match inside the micro-batch plan."""
+    from ..stages.ner_dict import dict_ner
+    from ..stages.split import _split_udf
+
+    # one watermark, defined once at the source; warc_ts rides along the
+    # narrow plan (extract → explode → match) with NO stream-stream join
+    docs = extract_documents(pages.withWatermark("warc_ts", watermark), n_batches=8)
+    sents = docs.select(
+        "doc_id",
+        "batch_id",
+        "warc_ts",
+        F.posexplode(_split_udf("text")).alias("sent_idx", "text"),
+    )
+    mentions = dict_ner(sents, gazetteer)  # warc_ts passes through
+    return mentions.groupBy(F.window("warc_ts", window), "surface").agg(
+        F.count("*").alias("n")
+    )

