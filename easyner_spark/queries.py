@@ -1222,3 +1222,215 @@ def q_multimodal_blob_meta(spark, sf_dir):
         F.md5(blob).alias("payload_md5"),
         F.substring("text", 1, 16).alias("head_preview"),
     )
+
+
+SIMHASH_BITS = 16
+
+
+@register(
+    "dedup_simhash",
+    _TOKS_CTE
+    + f""",
+bitvals AS (
+  SELECT doc_id, b.b AS bit,
+         SUM(CASE WHEN ascii(substring(md5(token), b.b + 1, 1)) % 2 = 0
+                  THEN 1 ELSE -1 END) AS v
+  FROM toks, generate_series(0, {SIMHASH_BITS - 1}) b(b)
+  GROUP BY doc_id, b.b
+),
+sigs AS (
+  SELECT doc_id,
+         CAST(SUM(CASE WHEN v >= 0 THEN 1 << CAST(bit AS INT) ELSE 0 END) AS BIGINT) AS simhash
+  FROM bitvals GROUP BY doc_id
+)
+SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       CAST(bit_count(xor(a.simhash, b.simhash)) AS BIGINT) AS hamming
+FROM sigs a JOIN sigs b ON a.doc_id < b.doc_id
+WHERE bit_count(xor(a.simhash, b.simhash)) <= 2
+""",
+)
+def q_dedup_simhash(spark, sf_dir):
+    """SimHash near-dup pairs: 16-bit signature from md5-parity token
+    hashes; candidate pairs at Hamming distance <= 2. The all-pairs
+    join is the CORRECTNESS oracle shape — the scale path buckets by
+    simhash bands exactly like dedup_minhash_pairs."""
+    t = tokens(spark, sf_dir)
+    bit = F.explode(F.sequence(F.lit(0), F.lit(SIMHASH_BITS - 1))).alias("bit")
+    v = F.expr(
+        "CASE WHEN ascii(substring(md5(token), bit + 1, 1)) % 2 = 0 THEN 1 ELSE -1 END"
+    )
+    bitvals = (
+        t.select("doc_id", "token", bit)
+        .groupBy("doc_id", "bit")
+        .agg(F.sum(v).alias("v"))
+    )
+    sigs = bitvals.groupBy("doc_id").agg(
+        F.sum(F.expr("CASE WHEN v >= 0 THEN shiftleft(1, CAST(bit AS INT)) ELSE 0 END"))
+        .cast("bigint")
+        .alias("simhash")
+    )
+    a, b = sigs.alias("a"), sigs.alias("b")
+    ham = F.expr("bit_count(a.simhash ^ b.simhash)")
+    return (
+        a.join(b, F.col("a.doc_id") < F.col("b.doc_id"))
+        .filter(ham <= 2)
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            ham.cast("bigint").alias("hamming"),
+        )
+    )
+
+
+@register(
+    "embed_lsh_knn",
+    f"""
+WITH v AS (
+  SELECT vec_id, unnest(embedding) AS val, unnest(range(len(embedding))) AS pos
+  FROM embeddings
+),
+proj AS (
+  SELECT vec_id, plane, SUM(CAST(val AS DOUBLE) * ({_lsh_plane_sql()})) AS p
+  FROM v, generate_series(0, {LSH_PLANES - 1}) s(plane)
+  GROUP BY vec_id, plane
+),
+buckets AS (
+  SELECT vec_id, CAST(SUM(CASE WHEN p >= 0 THEN 1 << CAST(plane AS INT) ELSE 0 END) AS BIGINT) AS bucket
+  FROM proj GROUP BY vec_id
+),
+pairs AS (
+  SELECT a.vec_id AS qid, b.vec_id AS cid
+  FROM buckets a JOIN buckets b ON a.bucket = b.bucket AND a.vec_id <> b.vec_id
+  WHERE a.vec_id < {KNN_QUERIES}
+),
+dots AS (
+  SELECT p.qid, p.cid,
+         SUM(CAST(q.val AS DOUBLE) * CAST(c.val AS DOUBLE)) AS dot,
+         SUM(CAST(q.val AS DOUBLE) * CAST(q.val AS DOUBLE)) AS qq,
+         SUM(CAST(c.val AS DOUBLE) * CAST(c.val AS DOUBLE)) AS cc
+  FROM pairs p
+  JOIN v q ON q.vec_id = p.qid
+  JOIN v c ON c.vec_id = p.cid AND c.pos = q.pos
+  GROUP BY p.qid, p.cid
+)
+SELECT qid, cid, round(dot / sqrt(qq * cc), 6) AS cosine,
+       CAST(ROW_NUMBER() OVER (PARTITION BY qid
+            ORDER BY round(dot / sqrt(qq * cc), 6) DESC, cid) AS BIGINT) AS rnk
+FROM dots
+QUALIFY rnk <= {KNN_K}
+""",
+)
+def q_embed_lsh_knn(spark, sf_dir):
+    """LSH-bucketed approximate kNN — the scale path for similarity
+    search: candidates restricted to the query's hyperplane bucket
+    (candidate set ~ corpus/2^planes), exact cosine re-ranking inside
+    the bucket. Compare embed_knn_bruteforce for the exact baseline."""
+    e = _read(spark, sf_dir, "embeddings")
+    v = e.select("vec_id", F.posexplode("embedding").alias("pos", "val"))
+    planes = F.explode(F.sequence(F.lit(0), F.lit(LSH_PLANES - 1))).alias("plane")
+    coef = F.expr(
+        "CASE WHEN ascii(substring(md5(CAST(plane AS STRING) || '|' ||"
+        " CAST(pos AS STRING)), 1, 1)) % 2 = 0 THEN 1 ELSE -1 END"
+    )
+    proj = (
+        v.select("vec_id", "pos", "val", planes)
+        .groupBy("vec_id", "plane")
+        .agg(F.sum(F.col("val").cast("double") * coef).alias("p"))
+    )
+    buckets = proj.groupBy("vec_id").agg(
+        F.sum(F.expr("CASE WHEN p >= 0 THEN shiftleft(1, plane) ELSE 0 END"))
+        .cast("bigint")
+        .alias("bucket")
+    )
+    a = buckets.filter(F.col("vec_id") < KNN_QUERIES).select(
+        F.col("vec_id").alias("qid"), "bucket"
+    )
+    b = buckets.select(F.col("vec_id").alias("cid"), "bucket")
+    pairs = a.join(b, "bucket").filter(F.col("qid") != F.col("cid")).select("qid", "cid")
+
+    qe = e.select(F.col("vec_id").alias("qid"), F.col("embedding").alias("qe"))
+    ce = e.select(F.col("vec_id").alias("cid"), F.col("embedding").alias("ce"))
+    dot = F.expr(
+        "aggregate(zip_with(qe, ce, (x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)),"
+        " 0D, (acc, v) -> acc + v)"
+    )
+    qq = F.expr(
+        "aggregate(transform(qe, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), 0D, (acc, v) -> acc + v)"
+    )
+    cc = F.expr(
+        "aggregate(transform(ce, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), 0D, (acc, v) -> acc + v)"
+    )
+    scored = (
+        pairs.join(F.broadcast(qe), "qid")
+        .join(ce, "cid")
+        .select("qid", "cid", F.round(dot / F.sqrt(qq * cc), 6).alias("cosine"))
+    )
+    w = W.partitionBy("qid").orderBy(F.desc("cosine"), "cid")
+    return scored.withColumn("rnk", F.row_number().over(w).cast("bigint")).filter(
+        F.col("rnk") <= KNN_K
+    )
+
+
+@register(
+    "kg_cooccur_pmi",
+    _MENTIONS_CTE
+    + """,
+doc_terms AS (SELECT DISTINCT doc_id, surface FROM mentions),
+n_docs AS (SELECT CAST(count(DISTINCT doc_id) AS BIGINT) AS n FROM toks),
+term_docs AS (SELECT surface, CAST(count(*) AS BIGINT) AS df FROM doc_terms GROUP BY surface),
+pair_docs AS (
+  SELECT a.surface AS term_a, b.surface AS term_b, CAST(count(*) AS BIGINT) AS df_ab
+  FROM doc_terms a JOIN doc_terms b
+    ON a.doc_id = b.doc_id AND a.surface < b.surface
+  GROUP BY 1, 2
+)
+SELECT p.term_a, p.term_b, p.df_ab, ta.df AS df_a, tb.df AS df_b,
+       round(ln((CAST(p.df_ab AS DOUBLE) * n.n) / (CAST(ta.df AS DOUBLE) * tb.df)), 6) AS pmi
+FROM pair_docs p
+JOIN term_docs ta ON p.term_a = ta.surface
+JOIN term_docs tb ON p.term_b = tb.surface
+CROSS JOIN n_docs n
+WHERE p.df_ab >= 3
+""",
+)
+def q_kg_cooccur_pmi(spark, sf_dir):
+    """Document-level PMI for co-occurring entity pairs — the scoring
+    layer a KG builder puts on top of raw co-occurrence triples."""
+    m = mentions(spark, sf_dir)
+    doc_terms = m.select("doc_id", "surface").distinct()
+    n_docs = tokens(spark, sf_dir).select("doc_id").distinct().count()
+    term_docs = doc_terms.groupBy("surface").agg(F.count("*").alias("df"))
+    a, b = doc_terms.alias("a"), doc_terms.alias("b")
+    pair_docs = (
+        a.join(
+            b,
+            (F.col("a.doc_id") == F.col("b.doc_id"))
+            & (F.col("a.surface") < F.col("b.surface")),
+        )
+        .groupBy(
+            F.col("a.surface").alias("term_a"), F.col("b.surface").alias("term_b")
+        )
+        .agg(F.count("*").alias("df_ab"))
+        .filter(F.col("df_ab") >= 3)
+    )
+    ta = term_docs.select(F.col("surface").alias("term_a"), F.col("df").alias("df_a"))
+    tb = term_docs.select(F.col("surface").alias("term_b"), F.col("df").alias("df_b"))
+    return (
+        pair_docs.join(F.broadcast(ta), "term_a")
+        .join(F.broadcast(tb), "term_b")
+        .select(
+            "term_a",
+            "term_b",
+            "df_ab",
+            "df_a",
+            "df_b",
+            F.round(
+                F.log(
+                    F.col("df_ab").cast("double")
+                    * F.lit(n_docs)
+                    / (F.col("df_a").cast("double") * F.col("df_b"))
+                ),
+                6,
+            ).alias("pmi"),
+        )
+    )
