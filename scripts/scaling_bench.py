@@ -104,13 +104,16 @@ print(json.dumps({"cpus": cpus, "sec": round(dt, 3), "docs": stats["n"],
 """
 
 
-def run(code: str, *args: str, timeout: int = 3600) -> str:
+def run(code: str, *args: str, timeout: int = 3600, cpus: int | None = None) -> str:
+    cmd = [sys.executable, "-c", code, *args]
+    if cpus is not None:
+        # pin the whole process tree (JVM + python UDF workers) to
+        # exactly `cpus` cores — without affinity, a local[N] run leaks
+        # GC/shuffle/python work onto idle cores and the LOW level gets
+        # free extra CPU, understating the true scaling efficiency
+        cmd = ["taskset", "-c", f"0-{cpus - 1}", *cmd]
     out = subprocess.run(
-        [sys.executable, "-c", code, *args],
-        capture_output=True,
-        text=True,
-        cwd=REPO,
-        timeout=timeout,
+        cmd, capture_output=True, text=True, cwd=REPO, timeout=timeout
     )
     if out.returncode != 0:
         raise RuntimeError(out.stderr[-2000:])
@@ -129,8 +132,8 @@ def main() -> None:
     if not args.reuse_pages or not os.path.exists(args.pages_path):
         run(PREPARE, str(args.docs), args.pages_path)
 
-    lo = json.loads(run(WORKER, str(args.low), args.pages_path))
-    hi = json.loads(run(WORKER, str(args.high), args.pages_path))
+    lo = json.loads(run(WORKER, str(args.low), args.pages_path, cpus=args.low))
+    hi = json.loads(run(WORKER, str(args.high), args.pages_path, cpus=args.high))
     ratio = args.high / args.low
     eff = (hi["chars_per_sec"] / lo["chars_per_sec"]) / ratio
     result = {
