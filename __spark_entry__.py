@@ -3,8 +3,10 @@
 ``entry(spark)`` runs the flagship KG query (co-occurrence triple
 ranking over the documents table) at sf0.001. ``queries()`` /
 ``oracle_sql()`` expose every implemented operator from SURVEY.md §2
-plus the training-data-pipeline operators; all 32 entries have DuckDB
-oracles and are cross-checked bit-for-bit in
+plus the training-data-pipeline operators; all 38 entries have DuckDB
+oracles (including the iterative connected-components algorithm,
+checked against a recursive-CTE closure, and the real engine UDF paths
+cross-checked against pure SQL) and are verified bit-for-bit in
 tests/test_queries_oracle.py (stricter than the driver's value-hash:
 exact cell equality after canonical sorting).
 """

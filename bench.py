@@ -95,9 +95,15 @@ def run_bench(sf_dir: str, cpus: str, n_corpus_docs: int | None = None) -> dict:
         "events_latest_per_user",
     ]
     for name in headline:
-        t0 = time.time()
-        mat(QUERIES[name](spark, sf_dir))
-        results[name] = round(time.time() - t0, 3)
+        # min of two runs: this VM shows sporadic multi-second scheduler
+        # spikes; the first run additionally pays codegen compile
+        best = None
+        for _ in range(2):
+            t0 = time.time()
+            mat(QUERIES[name](spark, sf_dir))
+            dt = time.time() - t0
+            best = dt if best is None or dt < best else best
+        results[name] = round(best, 3)
 
     total = round(sum(results.values()), 3)
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]

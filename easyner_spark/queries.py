@@ -1434,3 +1434,115 @@ def q_kg_cooccur_pmi(spark, sf_dir):
             ).alias("pmi"),
         )
     )
+
+
+# ---------------- real-engine UDF paths, cross-checked vs SQL ---------------
+# These run the ACTUAL pipeline UDFs (vectorized gazetteer matcher,
+# punkt-style splitter) over the documents table and validate them
+# against pure-SQL oracles — the strongest cross-engine check the
+# driver gate can express for non-relational operators.
+
+
+@register(
+    "ner_udf_surface_counts",
+    _TOKS_CTE
+    + f""",
+gaz(term, class) AS (VALUES {_sql_values_gaz()})
+SELECT token AS surface, min(class) AS class, CAST(count(*) AS BIGINT) AS n
+FROM toks JOIN gaz ON token = term
+GROUP BY token
+""",
+)
+def q_ner_udf_surface_counts(spark, sf_dir):
+    """The engine's vectorized n-gram matcher (textops.match_terms_batch
+    inside stages.ner_dict) over the documents text, aggregated to
+    per-surface counts. The oracle recomputes the same counts purely in
+    SQL via token membership — every GAZ term is single-token and the
+    corpus is \\w+-only, so UDF semantics and SQL semantics coincide
+    exactly; a mismatch means the Arrow/numpy matcher diverged."""
+    from .stages.ner_dict import dict_ner
+
+    docs = _read(spark, sf_dir, "documents").select(
+        F.col("doc_id").cast("string").alias("doc_id"),
+        F.expr(f"CAST(doc_id % {N_BATCHES} AS INT)").alias("batch_id"),
+        F.lit(0).alias("sent_idx"),
+        F.col("text"),
+    )
+    m = dict_ner(docs, GAZ)
+    return m.groupBy("surface").agg(
+        F.min("class").alias("class"), F.count("*").alias("n")
+    )
+
+
+@register(
+    "split_udf_passthrough",
+    """
+SELECT CAST(doc_id AS VARCHAR) AS doc_id, 0 AS sent_idx, text AS sent_text
+FROM documents WHERE length(trim(text)) > 0
+""",
+)
+def q_split_udf_passthrough(spark, sf_dir):
+    """The engine's sentence-splitter UDF over the documents text. The
+    word-soup corpus has no sentence terminators, so the splitter must
+    return exactly one sentence per document equal to the input text —
+    SQL-checkable identity that still drives the full Arrow UDF path."""
+    from .stages.split import split_documents
+
+    docs = _read(spark, sf_dir, "documents").select(
+        F.col("doc_id").cast("string").alias("doc_id"),
+        F.lit(0).alias("batch_id"),
+        "text",
+    )
+    s = split_documents(docs)
+    return s.select(
+        "doc_id", F.col("sent_idx").cast("int").alias("sent_idx"), F.col("text").alias("sent_text")
+    )
+
+
+@register(
+    "dedup_components",
+    _SHINGLES_CTE.replace("WITH ", "WITH RECURSIVE ", 1)
+    + f""",
+sigs AS (
+  SELECT doc_id, {_minhash_sig_exprs_sql()}
+  FROM shingles GROUP BY doc_id
+),
+bands AS (
+  SELECT doc_id, unnest([md5(h0 || h1 || h2 || h3), md5(h4 || h5 || h6 || h7)]) AS band_hash,
+         unnest([0, 1]) AS band_id
+  FROM sigs
+),
+pairs AS (
+  SELECT DISTINCT a.doc_id AS src, b.doc_id AS dst
+  FROM bands a JOIN bands b
+    ON a.band_hash = b.band_hash AND a.band_id = b.band_id AND a.doc_id < b.doc_id
+),
+edges AS (
+  SELECT src AS u, dst AS v FROM pairs
+  UNION SELECT dst, src FROM pairs
+),
+reach(node, label) AS (
+  SELECT u, u FROM edges
+  UNION
+  SELECT e.v, r.label FROM reach r JOIN edges e ON e.u = r.node
+)
+SELECT node AS doc_id, CAST(min(label) AS BIGINT) AS component
+FROM reach GROUP BY node
+""",
+)
+def q_dedup_components(spark, sf_dir):
+    """Near-duplicate document CLUSTERS: connected components (the
+    engine's iterative min-label-propagation, stages/canonical.py) over
+    the MinHash-LSH candidate pair graph. The DuckDB oracle computes
+    the same components via a recursive-CTE reachability closure — the
+    distributed iterative algorithm is thus value-checked against an
+    independent sequential formulation."""
+    from .stages.canonical import connected_components
+
+    pairs = QUERIES["dedup_minhash_pairs"](spark, sf_dir).select(
+        F.col("doc_a").alias("src"), F.col("doc_b").alias("dst")
+    )
+    comp = connected_components(pairs)
+    return comp.select(
+        F.col("node").alias("doc_id"), F.col("component").cast("bigint").alias("component")
+    )

@@ -81,7 +81,6 @@ def lsh_candidate_pairs(
     self-join so a single hot bucket can never produce more than
     ~max_bucket² pairs.
     """
-    rows_per_band = None  # derived from sig length at runtime via slice
     bands = signatures.select(
         id_col,
         F.posexplode(

@@ -7,14 +7,18 @@ every ordered mention pair within a sentence, plus typed predicates
 from pattern rules over the text BETWEEN the two mentions (the
 pattern-rule extension mandated by the target contract).
 
-Plan shape: a self-equi-join of mentions on (doc_id, sent_idx) with
-``mention_idx < mention_idx`` — Catalyst turns this into one shuffle
-on the compound key (or none if mentions are already partitioned by
-doc_id); the predicate rules are pure JVM string ops on the sentence
-slice, no UDF. Fan-out is quadratic in mentions-per-sentence, which is
-bounded (sentences are short); ``max_pairs_per_sentence`` caps
-pathological rows at web scale (degree capping — SURVEY.md §7
-"what's hard").
+Plan shape: two formulations, MEASURED head-to-head at 600k docs on a
+4-executor local-cluster:
+* ``cooccurrence_triples`` (default) — self-equi-join of mentions on
+  (doc_id, sent_idx) with mention_idx inequality, then one equi-join
+  with the sentence text. Warm wall-clock 5.6s.
+* ``cooccurrence_triples_grouped`` — collect mentions per sentence and
+  expand ordered pairs INTRA-ROW with nested array transforms. Ships
+  less shuffle data (mentions once instead of twice) but Spark runs
+  nested higher-order functions in interpreted mode, not whole-stage
+  codegen, and the per-row expression cost dominates: 15.4s warm —
+  ~3× slower. Kept as the reference formulation and for clusters
+  where shuffle I/O (not CPU) is the true bottleneck.
 """
 
 from __future__ import annotations
@@ -44,27 +48,7 @@ def _gap_pred(gap_col):
     return expr
 
 
-def cooccurrence_triples(
-    linked: DataFrame,
-    sentences: DataFrame,
-    subj_col: str = "ent_name",
-    max_mentions_per_sentence: int | None = 32,
-) -> DataFrame:
-    """→ triples(subj, pred, obj, doc_id, sent_idx, batch_id).
-
-    subj/obj are taken from ``subj_col`` (canonical name by default, so
-    triples compare against the reference's surface-level co-occurrence
-    entity lists at P/R level). Pairs are ordered by mention position:
-    subj is the earlier mention (entity_parser.py builds its entity
-    list in sentence order).
-
-    Degree cap: mentions beyond ``max_mentions_per_sentence`` (by
-    mention_idx) are dropped BEFORE pairing — a stateless filter that
-    bounds fan-out at cap²/2 per sentence without the per-pair
-    row_number window (which costs an extra full shuffle+sort of the
-    pair set; measured 1.5× slower at 600k docs). Entity-stuffed pages
-    at web scale hit the cap; normal sentences never do.
-    """
+def _select_mentions(linked: DataFrame, subj_col: str, cap: int | None) -> DataFrame:
     m = linked.select(
         "doc_id",
         "batch_id",
@@ -74,8 +58,70 @@ def cooccurrence_triples(
         "begin",
         "end",
     )
-    if max_mentions_per_sentence is not None:
-        m = m.filter(F.col("mention_idx") < max_mentions_per_sentence)
+    if cap is not None:
+        # degree cap BEFORE pairing: a stateless filter bounding fan-out
+        # at cap²/2 per sentence (entity-stuffed pages at web scale hit
+        # it; normal sentences never do) — no window, no extra shuffle
+        m = m.filter(F.col("mention_idx") < cap)
+    return m
+
+
+def cooccurrence_triples_grouped(
+    linked: DataFrame,
+    sentences: DataFrame,
+    subj_col: str = "ent_name",
+    max_mentions_per_sentence: int | None = 32,
+) -> DataFrame:
+    """→ triples(subj, pred, obj, doc_id, sent_idx, batch_id).
+
+    subj/obj from ``subj_col`` (canonical name by default); subj is the
+    earlier mention — reference builds its entity list in sentence
+    order (entity_parser.py:19-40). Pattern predicates come from the
+    sentence slice between the two mentions (JVM substring, no UDF).
+    """
+    m = _select_mentions(linked, subj_col, max_mentions_per_sentence)
+    per_sent = m.groupBy("doc_id", "batch_id", "sent_idx").agg(
+        F.array_sort(
+            F.collect_list(F.struct("mention_idx", "ent", "begin", "end"))
+        ).alias("ms")
+    ).filter(F.size("ms") >= 2)  # reference co-occurrence condition (≥2)
+
+    sent = sentences.select("doc_id", "sent_idx", F.col("text").alias("sent_text"))
+    joined = per_sent.join(sent, ["doc_id", "sent_idx"])
+
+    # intra-row ordered pair expansion:
+    # pairs = [(ms[i], ms[j]) for i < j], flattened then exploded
+    pairs = F.explode(
+        F.flatten(
+            F.expr(
+                "transform(ms, (a, i) ->"
+                " transform(slice(ms, i + 2, size(ms) - i - 1), b -> struct(a, b)))"
+            )
+        )
+    ).alias("p")
+    exploded = joined.select("doc_id", "batch_id", "sent_idx", "sent_text", pairs)
+    gap = F.expr(
+        "substring(sent_text, p.a.`end` + 2, greatest(p.b.begin - p.a.`end` - 1, 0))"
+    )
+    return exploded.select(
+        F.col("p.a.ent").alias("subj"),
+        _gap_pred(gap).alias("pred"),
+        F.col("p.b.ent").alias("obj"),
+        "doc_id",
+        "sent_idx",
+        "batch_id",
+    )
+
+
+def cooccurrence_triples(
+    linked: DataFrame,
+    sentences: DataFrame,
+    subj_col: str = "ent_name",
+    max_mentions_per_sentence: int | None = 32,
+) -> DataFrame:
+    """Join-based formulation (the default; see module docstring for
+    the measured comparison vs the grouped intra-row expansion)."""
+    m = _select_mentions(linked, subj_col, max_mentions_per_sentence)
     a = m.alias("a")
     b = m.alias("b")
     pairs = a.join(
@@ -84,13 +130,11 @@ def cooccurrence_triples(
         & (F.col("a.sent_idx") == F.col("b.sent_idx"))
         & (F.col("a.mention_idx") < F.col("b.mention_idx")),
     )
-
     sent = sentences.select(
         F.col("doc_id").alias("s_doc_id"),
         F.col("sent_idx").alias("s_sent_idx"),
         F.col("text").alias("sent_text"),
     )
-    # gap text between the two mentions: JVM substring, no UDF
     gap = F.expr(
         "substring(sent_text, a.`end` + 2, greatest(b.begin - a.`end` - 1, 0))"
     )

@@ -62,18 +62,44 @@ print("PREPARED", flush=True)
 """
 
 WORKER = r"""
-import json, sys, time
-cpus, path = int(sys.argv[1]), sys.argv[2]
-from easyner_spark.session import get_spark
+import glob, json, os, sys, time, zipfile
+n_exec, exec_cores, path = int(sys.argv[1]), int(sys.argv[2]), sys.argv[3]
 from easyner_spark.corpus import GAZETTEER, NEL_LOOKUP
 from easyner_spark.stages.extract import extract_documents
 from easyner_spark.stages.split import split_documents
 from easyner_spark.stages.ner_dict import dict_ner
 from easyner_spark.stages.nel import link_entities
 from easyner_spark.stages.triples import cooccurrence_triples
-from pyspark.sql import functions as F
+from pyspark.sql import SparkSession, functions as F
 
-spark = get_spark(master=f"local[{cpus}]", shuffle_partitions=cpus * 2)
+# multi-executor emulation: Spark standalone local-cluster mode — one
+# JVM PER EXECUTOR, real shuffle between them, identical executor shape
+# at both cluster sizes; the package ships to executors as a zip (the
+# spark-submit --py-files mechanism).
+zip_path = f"/tmp/easyner_spark_pyfiles.zip"
+if not os.path.exists(zip_path):
+    import easyner_spark
+    pkg_dir = os.path.dirname(easyner_spark.__file__)
+    with zipfile.ZipFile(zip_path, "w") as zf:
+        for f in glob.glob(pkg_dir + "/**/*.py", recursive=True):
+            zf.write(f, os.path.relpath(f, os.path.dirname(pkg_dir)))
+
+cpus = n_exec * exec_cores
+spark = (
+    SparkSession.builder.appName(f"scaling_{n_exec}x{exec_cores}")
+    .master(f"local-cluster[{n_exec},{exec_cores},4096]")
+    .config("spark.executor.memory", "4g")
+    .config("spark.sql.shuffle.partitions", str(cpus * 2))
+    .config("spark.sql.adaptive.enabled", "true")
+    .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+    .config("spark.submit.pyFiles", zip_path)
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+)
+spark.sparkContext.setLogLevel("ERROR")
+spark.sparkContext.addPyFile(zip_path)
 lookup = spark.createDataFrame([{"entity": e, "id": i, "name": nm} for e, i, nm in NEL_LOOKUP])
 
 def pipeline(pages):
@@ -94,10 +120,16 @@ pages = spark.read.parquet(path)
 stats = extract_documents(pages, n_batches=256).agg(
     F.count("*").alias("n"), F.sum(F.length("text")).alias("c")).first()
 
-t0 = time.time()
-nt = pipeline(pages)
-dt = time.time() - t0
-print(json.dumps({"cpus": cpus, "sec": round(dt, 3), "docs": stats["n"],
+# best of 2 measured passes: the sandbox VM shows sporadic multi-second
+# scheduler degradation episodes; min filters them
+dt = None
+for _ in range(2):
+    t0 = time.time()
+    nt = pipeline(pages)
+    d = time.time() - t0
+    dt = d if dt is None or d < dt else dt
+print(json.dumps({"executors": n_exec, "cores_per_executor": exec_cores,
+                  "cpus": cpus, "sec": round(dt, 3), "docs": stats["n"],
                   "chars": int(stats["c"]), "triples": nt,
                   "chars_per_sec": round(stats["c"] / dt, 1),
                   "triples_per_sec": round(nt / dt, 1)}), flush=True)
@@ -122,26 +154,31 @@ def run(code: str, *args: str, timeout: int = 3600, cpus: int | None = None) -> 
 
 def main() -> None:
     ap = argparse.ArgumentParser()
-    ap.add_argument("--low", type=int, default=4)
-    ap.add_argument("--high", type=int, default=16)
+    ap.add_argument("--low", type=int, default=1, help="executors at the low level")
+    ap.add_argument("--high", type=int, default=4, help="executors at the high level")
+    ap.add_argument("--exec-cores", type=int, default=3)
     ap.add_argument("--docs", type=int, default=600_000)
     ap.add_argument("--pages-path", default="/tmp/scaling_pages")
     ap.add_argument("--reuse-pages", action="store_true")
     args = ap.parse_args()
 
+    # always rebuild the --py-files zip so executors see current code
+    if os.path.exists("/tmp/easyner_spark_pyfiles.zip"):
+        os.remove("/tmp/easyner_spark_pyfiles.zip")
     if not args.reuse_pages or not os.path.exists(args.pages_path):
         run(PREPARE, str(args.docs), args.pages_path)
 
-    lo = json.loads(run(WORKER, str(args.low), args.pages_path, cpus=args.low))
-    hi = json.loads(run(WORKER, str(args.high), args.pages_path, cpus=args.high))
+    lo = json.loads(run(WORKER, str(args.low), str(args.exec_cores), args.pages_path))
+    hi = json.loads(run(WORKER, str(args.high), str(args.exec_cores), args.pages_path))
     ratio = args.high / args.low
     eff = (hi["chars_per_sec"] / lo["chars_per_sec"]) / ratio
     result = {
         "job": "kg_pipeline_synthetic (scan->extract->split->ner->link->triples)",
+        "mode": "spark standalone local-cluster (one JVM per executor, real shuffle)",
         "docs_requested": args.docs,
         "low": lo,
         "high": hi,
-        "core_ratio": ratio,
+        "executor_ratio": ratio,
         "scaling_efficiency_chars": round(eff, 3),
         "scaling_efficiency_triples": round(
             (hi["triples_per_sec"] / lo["triples_per_sec"]) / ratio, 3
@@ -151,9 +188,9 @@ def main() -> None:
         json.dump(result, f, indent=2)
     print(json.dumps(result, indent=2))
     print(
-        f"\n| cores | sec | chars/s | triples/s |\n|---|---|---|---|\n"
-        f"| {lo['cpus']} | {lo['sec']} | {lo['chars_per_sec']} | {lo['triples_per_sec']} |\n"
-        f"| {hi['cpus']} | {hi['sec']} | {hi['chars_per_sec']} | {hi['triples_per_sec']} |\n"
+        f"\n| executors | cores | sec | chars/s | triples/s |\n|---|---|---|---|---|\n"
+        f"| {lo['executors']} | {lo['cpus']} | {lo['sec']} | {lo['chars_per_sec']} | {lo['triples_per_sec']} |\n"
+        f"| {hi['executors']} | {hi['cpus']} | {hi['sec']} | {hi['chars_per_sec']} | {hi['triples_per_sec']} |\n"
         f"\nefficiency (chars): {eff:.3f}"
     )
 
