@@ -125,7 +125,9 @@ def run_bench(sf_dir: str, cpus: str, n_corpus_docs: int | None = None) -> dict:
 
 if __name__ == "__main__":
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+    # default 16, not 32: this VM's 32 vCPUs are ~16 physical cores and
+    # local[32] suffers python-worker spawn storms (see BASELINE.md)
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "16")
     out = run_bench(sf_dir, cpus)
     print(json.dumps(out))
     sys.stdout.flush()

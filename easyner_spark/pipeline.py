@@ -45,6 +45,7 @@ def run_pipeline(
     n_batches: int = 64,
     canonicalize: bool = True,
     stages: set[str] | None = None,
+    resolve_single_run_conflicts: bool = False,
 ) -> dict:
     """Execute (and checkpoint) the full chain; returns the lineage
     report {stage: {sec, rows, batches}}. ``stages`` filters which
@@ -87,11 +88,18 @@ def run_pipeline(
         if "sentences" in want
         else cat.read_stage(spark, "sentences")
     )
-    mentions = (
-        commit("mentions", resolve_conflicts(dict_ner(sents, gazetteer)))
-        if "mentions" in want
-        else cat.read_stage(spark, "mentions")
-    )
+    # NOTE: conflict resolution (J3) applies to MULTI-run merges only
+    # (reference: entity_merger2.py post-processes merged class runs);
+    # the single dict run keeps nested/overlapping matches exactly like
+    # PhraseMatcher (ner_spacy.py:144-155) — resolving here would break
+    # mention-exact parity with the oracle.
+    if "mentions" in want:
+        m = dict_ner(sents, gazetteer)
+        if resolve_single_run_conflicts:
+            m = resolve_conflicts(m)
+        mentions = commit("mentions", m)
+    else:
+        mentions = cat.read_stage(spark, "mentions")
 
     if "linked" in want:
         lookup = spark.createDataFrame(

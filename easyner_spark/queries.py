@@ -1546,3 +1546,86 @@ def q_dedup_components(spark, sf_dir):
     return comp.select(
         F.col("node").alias("doc_id"), F.col("component").cast("bigint").alias("component")
     )
+
+
+@register(
+    "dedup_embedding_cosine",
+    f"""
+WITH v AS (
+  SELECT vec_id, unnest(embedding) AS val, unnest(range(len(embedding))) AS pos
+  FROM embeddings
+),
+proj AS (
+  SELECT vec_id, plane, SUM(CAST(val AS DOUBLE) * ({_lsh_plane_sql()})) AS p
+  FROM v, generate_series(0, {LSH_PLANES - 1}) s(plane)
+  GROUP BY vec_id, plane
+),
+buckets AS (
+  SELECT vec_id, CAST(SUM(CASE WHEN p >= 0 THEN 1 << CAST(plane AS INT) ELSE 0 END) AS BIGINT) AS bucket
+  FROM proj GROUP BY vec_id
+),
+pairs AS (
+  SELECT a.vec_id AS vec_a, b.vec_id AS vec_b
+  FROM buckets a JOIN buckets b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+),
+dots AS (
+  SELECT p.vec_a, p.vec_b,
+         SUM(CAST(q.val AS DOUBLE) * CAST(c.val AS DOUBLE)) AS dot,
+         SUM(CAST(q.val AS DOUBLE) * CAST(q.val AS DOUBLE)) AS qq,
+         SUM(CAST(c.val AS DOUBLE) * CAST(c.val AS DOUBLE)) AS cc
+  FROM pairs p
+  JOIN v q ON q.vec_id = p.vec_a
+  JOIN v c ON c.vec_id = p.vec_b AND c.pos = q.pos
+  GROUP BY p.vec_a, p.vec_b
+)
+SELECT vec_a, vec_b, round(dot / sqrt(qq * cc), 6) AS cosine
+FROM dots WHERE dot / sqrt(qq * cc) >= 0.93
+""",
+)
+def q_dedup_embedding_cosine(spark, sf_dir):
+    """Embedding-cosine near-duplicate pairs — the semantic-dedup scale
+    path: LSH-bucket blocking (candidates share a hyperplane bucket)
+    then exact cosine >= threshold inside the bucket. Complements the
+    lexical dedup family (exact / Jaccard / MinHash / SimHash)."""
+    e = _read(spark, sf_dir, "embeddings")
+    v = e.select("vec_id", F.posexplode("embedding").alias("pos", "val"))
+    planes = F.explode(F.sequence(F.lit(0), F.lit(LSH_PLANES - 1))).alias("plane")
+    coef = F.expr(
+        "CASE WHEN ascii(substring(md5(CAST(plane AS STRING) || '|' ||"
+        " CAST(pos AS STRING)), 1, 1)) % 2 = 0 THEN 1 ELSE -1 END"
+    )
+    proj = (
+        v.select("vec_id", "pos", "val", planes)
+        .groupBy("vec_id", "plane")
+        .agg(F.sum(F.col("val").cast("double") * coef).alias("p"))
+    )
+    buckets = proj.groupBy("vec_id").agg(
+        F.sum(F.expr("CASE WHEN p >= 0 THEN shiftleft(1, plane) ELSE 0 END"))
+        .cast("bigint")
+        .alias("bucket")
+    )
+    a = buckets.select(F.col("vec_id").alias("vec_a"), "bucket")
+    b = buckets.select(F.col("vec_id").alias("vec_b"), "bucket")
+    pairs = a.join(b, "bucket").filter(F.col("vec_a") < F.col("vec_b")).select(
+        "vec_a", "vec_b"
+    )
+    qe = e.select(F.col("vec_id").alias("vec_a"), F.col("embedding").alias("qe"))
+    ce = e.select(F.col("vec_id").alias("vec_b"), F.col("embedding").alias("ce"))
+    dot = F.expr(
+        "aggregate(zip_with(qe, ce, (x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)),"
+        " 0D, (acc, v) -> acc + v)"
+    )
+    qq = F.expr(
+        "aggregate(transform(qe, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), 0D, (acc, v) -> acc + v)"
+    )
+    cc = F.expr(
+        "aggregate(transform(ce, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), 0D, (acc, v) -> acc + v)"
+    )
+    cos = dot / F.sqrt(qq * cc)
+    return (
+        pairs.join(qe, "vec_a")
+        .join(ce, "vec_b")
+        .withColumn("_c", cos)
+        .filter(F.col("_c") >= 0.93)
+        .select("vec_a", "vec_b", F.round("_c", 6).alias("cosine"))
+    )

@@ -133,3 +133,27 @@ def test_audit_hash_stable_across_parallelism(spark):
         ).collect()
     }
     assert a1 == a2
+
+
+def test_full_pipeline_orchestrator_matches_oracle(spark, tmp_path, oracle):
+    """The CLI-facing orchestrator (pipeline.run_pipeline, with
+    checkpoints and canonicalization) must hit the same P/R contract as
+    the hand-chained stages — catches orchestration-level divergences
+    (e.g. conflict resolution wrongly applied to a single run)."""
+    from easyner_spark.pipeline import run_pipeline
+    from easyner_spark.corpus import pages_df
+    from easyner_spark.io.catalog import CheckpointCatalog
+
+    wh = str(tmp_path / "wh")
+    pages = pages_df(spark, n_docs=N_DOCS)
+    run_pipeline(spark, pages, wh, n_batches=8)
+    cat = CheckpointCatalog(wh)
+    triples = cat.read_stage(spark, "triples")
+    docs = cat.read_stage(spark, "documents")
+    url_of = docs.select("doc_id", "url")
+    pred = {
+        (r["subj"], r["pred"], r["obj"], r["url"], r["sent_idx"])
+        for r in triples.join(url_of, "doc_id").collect()
+    }
+    p, r = precision_recall(pred, oracle["triples"])
+    assert p == 1.0 and r == 1.0
