@@ -83,28 +83,61 @@ class CheckpointCatalog:
         df: DataFrame,
         stage: str,
         partition_col: str = "batch_id",
+        resume_mode: str = "verify_counts",
     ) -> dict:
-        """Commit all not-yet-committed partitions of ``df``; returns the
-        snapshot entry ({} if everything was already committed)."""
+        """Commit all pending partitions of ``df``; returns the snapshot
+        entry ({} if everything was already committed).
+
+        Resume modes — "partition committed" is not "partition
+        complete" when the INPUT can grow (batch_id is a hash of the
+        key, so new rows land in already-committed batches):
+
+        * ``verify_counts`` (default): one counting pass over the
+          incoming frame; a batch is pending iff its incoming row count
+          differs from the committed count (changed batches are
+          re-committed via dynamic partition overwrite). Re-running an
+          unchanged stage is still a no-op.
+        * ``skip_committed``: the cheap immutable-input path — skip any
+          batch ever committed without looking at the data (exactly the
+          reference's skip-existing-file semantics).
+        """
         done = self.committed_batches(stage)
         pending = df
-        if done:
+        if done and resume_mode == "skip_committed":
             # partition-pruned resume filter (pushed into the scan)
             pending = df.filter(~F.col(partition_col).isin(*sorted(done)))
+        elif done:
+            committed_counts = {b: c["rows"] for b, c in self.counters(stage).items()}
+            incoming = {
+                int(r[partition_col]): r["n"]
+                for r in df.groupBy(partition_col).agg(F.count("*").alias("n")).collect()
+            }
+            changed = sorted(
+                b for b, n in incoming.items() if committed_counts.get(b) != n
+            )
+            if not changed:
+                return {}
+            pending = df.filter(F.col(partition_col).isin(changed))
 
-        # counters BEFORE the write (same plan feeds both via cache)
+        # counters BEFORE the write (same plan feeds both via cache).
+        # xxhash64(*) hashes NULLs distinctly per column (no concat_ws
+        # null-blindness); keeping BOTH a bit_xor and a decimal sum of
+        # the row hashes means a silent divergence needs an engineered
+        # collision in two independent folds.
         pending = pending.persist()
         counters = {
             int(r[partition_col]): {
                 "rows": r["rows"],
                 "content_hash": r["content_hash"],
+                "content_sum": str(r["content_sum"]),
             }
             for r in pending.groupBy(partition_col)
             .agg(
                 F.count("*").alias("rows"),
-                F.expr(
-                    "bit_xor(xxhash64(concat_ws(char(31), *)))"
-                ).alias("content_hash"),
+                F.expr("bit_xor(xxhash64(*))").alias("content_hash"),
+                F.expr("sum(cast(xxhash64(*) as decimal(38,0)))").alias(
+                    "content_sum"
+                ),
             )
             .collect()
         }

@@ -52,10 +52,21 @@ def run_oracle(
     lookup_dict = {e: (i, n) for e, i, n in lookup}
     new_entries: list[tuple[str, str, str]] = []
 
-    documents: dict[str, dict] = {}
-    for row in pages.sort_values("url").itertuples():
+    # url dedup: the LATEST crawl wins (max warc_ts, md5(html) tiebreak)
+    # — mirrors the engine's window dedup in stages/extract.py
+    import hashlib as _hl
+
+    best: dict[str, tuple] = {}
+    for row in pages.itertuples():
         if lang_filter is not None and row.lang != lang_filter:
             continue
+        key = (row.warc_ts, _hl.md5(bytes(row.html)).hexdigest() if row.html is not None else "")
+        if row.url not in best or key > best[row.url][0]:
+            best[row.url] = (key, row)
+
+    documents: dict[str, dict] = {}
+    for url in sorted(best):
+        row = best[url][1]
         if row.text is not None and not (isinstance(row.text, float) and pd.isna(row.text)):
             title = extract_html(bytes(row.html))[0] if row.html is not None else ""
             text = row.text

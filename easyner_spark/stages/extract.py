@@ -7,98 +7,100 @@ contract adds: input is a table of Common-Crawl-style pages and the
 extracted ``text`` must be byte-identical per url (enforced by the
 audit below).
 
-Plan shape: the pre-extracted branch (``text IS NOT NULL``) is pure
-column ops (no Python); only the html-only branch pays the pandas-UDF
-cost, and the two branches are unioned back. At 100 TB this means the
-usually-dominant pass-through rows never leave the JVM.
+Plan shape: pages are first deduplicated by url (last crawl wins —
+re-crawled pages are routine at web scale and duplicate doc_ids would
+corrupt every per-(doc_id, sent_idx) join downstream). The
+pre-extracted branch (``text IS NOT NULL``) is PURE column ops — the
+title probe is a JVM regexp, so the usually-dominant pass-through rows
+never cross the Arrow boundary into Python; only the html-only branch
+pays the pandas-UDF body-extraction cost, and the two branches are
+unioned back.
 """
 
 from __future__ import annotations
 
 import pandas as pd
-from pyspark.sql import DataFrame, functions as F, types as T
+from pyspark.sql import DataFrame, Window, functions as F, types as T
 
-from ..textops import extract_html, extract_title
-
-_EXTRACT_SCHEMA = T.StructType(
-    [
-        T.StructField("title", T.StringType()),
-        T.StructField("text", T.StringType()),
-    ]
-)
-
-
-@F.pandas_udf(_EXTRACT_SCHEMA)
-def _extract_udf(html: pd.Series) -> pd.DataFrame:
-    titles, texts = [], []
-    for b in html:
-        if b is None:
-            titles.append("")
-            texts.append("")
-        else:
-            t, x = extract_html(bytes(b))
-            titles.append(t)
-            texts.append(x)
-    return pd.DataFrame({"title": titles, "text": texts})
+from ..textops import extract_html
 
 
 @F.pandas_udf(T.StringType())
-def _title_udf(html: pd.Series) -> pd.Series:
-    # title-only probe: the pass-through branch (usually dominant) must
-    # not pay the full body-extraction regex cost
+def _extract_text_udf(html: pd.Series) -> pd.Series:
     return pd.Series(
-        [extract_title(bytes(b)) if b is not None else "" for b in html]
+        [extract_html(bytes(b))[1] if b is not None else "" for b in html]
     )
+
+
+def _title_expr(html_col):
+    """JVM-side <title> extraction: regexp probe + the common named
+    entities + whitespace squash. Matches textops.extract_title for
+    the entity set real titles use; exotic numeric entities fall back
+    to their literal form (title is metadata, not part of the
+    byte-identical-text contract)."""
+    raw = F.decode(html_col, "UTF-8")
+    t = F.regexp_extract(raw, r"(?is)<title[^>]*>(.*?)</title>", 1)
+    for ent, ch in [
+        ("&lt;", "<"),
+        ("&gt;", ">"),
+        ("&quot;", '"'),
+        ("&#39;", "'"),
+        ("&apos;", "'"),
+        ("&amp;", "&"),  # last, so &amp;lt; decodes like html.unescape
+    ]:
+        t = F.replace(t, F.lit(ent), F.lit(ch))
+    return F.trim(F.regexp_replace(t, r"\s+", " "))
 
 
 def extract_documents(
     pages: DataFrame,
     n_batches: int = 64,
     lang_filter: str | None = "en",
+    dedup_urls: bool = True,
 ) -> DataFrame:
     """pages(url, warc_ts, html, text, lang) → documents.
 
     documents(doc_id, url, title, text, lang, warc_ts, batch_id):
 
+    * re-crawled urls keep the LATEST crawl (max warc_ts, md5(html)
+      tiebreak) — doc_id is url-keyed, so exactly one row per url;
     * ``doc_id`` = sha2(url, 256) — deterministic, collision-safe id
       (reference fallback semantics, cord_loader.py:82-83, keyed by url
-      because url is the page identity per the input contract).
+      because url is the page identity per the input contract);
     * ``text`` = pass-through when present (byte-identical per url),
-      else deterministic extraction from ``html``.
+      else deterministic extraction from ``html``;
     * ``batch_id`` = pmod(xxhash64(url), n_batches) — a stable lineage/
       partition key independent of task scheduling (replaces the
-      reference's file-suffix batch id, scripts/splitter.py:72).
+      reference's file-suffix batch id, scripts/splitter.py:72);
     * empty-text rows are dropped (reference drops empty abstracts,
       cord_loader.py:41-42, pubmed_bulk.py:114-116).
     """
     if lang_filter is not None:
         pages = pages.filter(F.col("lang") == lang_filter)
 
+    if dedup_urls:
+        w = Window.partitionBy("url").orderBy(
+            F.desc("warc_ts"), F.desc(F.md5(F.col("html")))
+        )
+        pages = (
+            pages.withColumn("_rn", F.row_number().over(w))
+            .filter(F.col("_rn") == 1)
+            .drop("_rn")
+        )
+
     base = pages.withColumn(
         "batch_id", F.pmod(F.xxhash64("url"), F.lit(n_batches)).cast("int")
-    ).withColumn("doc_id", F.sha2(F.col("url"), 256))
+    ).withColumn("doc_id", F.sha2(F.col("url"), 256)).withColumn(
+        "title", _title_expr(F.col("html"))
+    )
 
     passthrough = base.filter(F.col("text").isNotNull()).select(
-        "doc_id",
-        "url",
-        _title_udf("html").alias("title"),
-        F.col("text"),
-        "lang",
-        "warc_ts",
-        "batch_id",
+        "doc_id", "url", "title", "text", "lang", "warc_ts", "batch_id"
     )
     extracted = (
         base.filter(F.col("text").isNull())
-        .withColumn("ext", _extract_udf("html"))
-        .select(
-            "doc_id",
-            "url",
-            F.col("ext.title").alias("title"),
-            F.col("ext.text").alias("text"),
-            "lang",
-            "warc_ts",
-            "batch_id",
-        )
+        .withColumn("text", _extract_text_udf("html"))
+        .select("doc_id", "url", "title", "text", "lang", "warc_ts", "batch_id")
     )
     docs = passthrough.unionByName(extracted)
     return docs.filter(F.length("text") > 0)
@@ -107,18 +109,23 @@ def extract_documents(
 def audit_hashes(documents: DataFrame) -> DataFrame:
     """Per-partition audit of the byte-identical-text invariant.
 
-    audit(batch_id, n_docs, text_hash_sum) where text_hash_sum is an
-    order-insensitive bit_xor of xxhash64(sha2(url || NUL || text)). Two
-    runs (or engine vs oracle) over the same pages must agree per
-    batch; disagreement pinpoints the partition that diverged
+    audit(batch_id, n_docs, text_hash_sum, text_hash_xor): order-
+    insensitive fold of xxhash64(url, text) per batch. Both a decimal
+    SUM and a bit_xor are kept — xor alone cancels even multisets of
+    differences, sum alone misses sign-symmetric swaps; together a
+    divergence needs an engineered collision. xxhash64 over the two
+    columns directly hashes NULLs distinctly (no concat_ws null
+    blindness). Two runs (or engine vs oracle) over the same pages must
+    agree per batch; disagreement pinpoints the diverged partition
     (SURVEY.md §4 custom-work item 3).
     """
-    h = F.sha2(F.concat(F.col("url"), F.lit("\x00"), F.col("text")), 256)
+    h = F.xxhash64(F.col("url"), F.col("text"))
     return (
-        documents.select("batch_id", F.xxhash64(h).alias("h"))
+        documents.select("batch_id", h.alias("h"))
         .groupBy("batch_id")
         .agg(
             F.count("*").alias("n_docs"),
-            F.expr("bit_xor(h)").alias("text_hash_sum"),
+            F.sum(F.col("h").cast("decimal(38,0)")).alias("text_hash_sum"),
+            F.expr("bit_xor(h)").alias("text_hash_xor"),
         )
     )

@@ -106,7 +106,14 @@ def merge_separated_py(
 
 def merge_separated(mentions: DataFrame, sentences: DataFrame) -> DataFrame:
     """DF wrapper: mentions (exclusive-end model path) + sentences →
-    post-processed mentions. Sentences without separators bypass."""
+    post-processed mentions. Sentences without separators bypass.
+
+    Grouping is per (doc_id, sent_idx, class, source) — the reference
+    runs the sweep over one per-class NER output file at a time
+    (postprocess_separator_merging.py processes a single model's
+    files), so mentions of DIFFERENT classes never merge with each
+    other and each swept row keeps its own class/source.
+    """
     sent = sentences.select("doc_id", "sent_idx", F.col("text").alias("sent_text"))
     m = mentions.join(sent, ["doc_id", "sent_idx"])
     has_sep = F.col("sent_text").rlike(r"[-()\[\]{}]")
@@ -118,9 +125,11 @@ def merge_separated(mentions: DataFrame, sentences: DataFrame) -> DataFrame:
         "begin int, end int, class string, source string"
     )
 
+    group_keys = ["doc_id", "sent_idx", "class", "source"]
+
     def sweep(pdf: pd.DataFrame) -> pd.DataFrame:
         out = []
-        for (_, _), grp in pdf.groupby(["doc_id", "sent_idx"], sort=False):
+        for _, grp in pdf.groupby(group_keys, sort=False):
             grp = grp.sort_values(["begin", "end"])
             text = grp["sent_text"].iloc[0]
             ents, sps = merge_separated_py(
@@ -156,7 +165,7 @@ def merge_separated(mentions: DataFrame, sentences: DataFrame) -> DataFrame:
             ],
         )
 
-    swept = dirty.groupBy("doc_id", "sent_idx").applyInPandas(sweep, schema)
+    swept = dirty.groupBy(*group_keys).applyInPandas(sweep, schema)
     out = clean.select(
         "doc_id", "batch_id", "sent_idx", "surface", "begin", "end", "class", "source"
     ).unionByName(swept)

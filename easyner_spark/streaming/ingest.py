@@ -65,7 +65,9 @@ def start_ingest(
     pages = read_page_stream(spark, input_dir)
 
     def sink(batch_df: DataFrame, epoch_id: int) -> None:
-        docs = extract_documents(batch_df, n_batches=n_batches, lang_filter=lang_filter)
+        docs = extract_documents(
+            batch_df, n_batches=n_batches, lang_filter=lang_filter, dedup_urls=False
+        )  # the stream already dedups by url upstream (watermarked)
         # append-style commit: allow new rows for already-seen batches by
         # keying the stage per epoch (each epoch is an atomic snapshot)
         cat.write_stage(docs, f"documents_epoch{epoch_id:06d}")
@@ -92,7 +94,9 @@ def streaming_entity_counts(
 
     # one watermark, defined once at the source; warc_ts rides along the
     # narrow plan (extract → explode → match) with NO stream-stream join
-    docs = extract_documents(pages.withWatermark("warc_ts", watermark), n_batches=8)
+    docs = extract_documents(
+        pages.withWatermark("warc_ts", watermark), n_batches=8, dedup_urls=False
+    )  # window dedup is not streamable; the source stream dedups by url
     sents = docs.select(
         "doc_id",
         "batch_id",

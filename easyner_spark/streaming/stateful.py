@@ -65,16 +65,26 @@ def sessionized_user_stats(
         else:
             start_us = last_us = None
             n = 0
+        # a group may arrive as SEVERAL Arrow chunks — buffer all
+        # timestamps and sort ONCE across chunks, otherwise a later
+        # chunk holding earlier events regresses last_us and corrupts
+        # session boundaries
+        all_us: list[int] = []
         for pdf in pdfs:
-            us = (pdf["ts"].astype("int64") // 1000) if pdf["ts"].dtype.kind == "M" else pdf["us"]
-            for t in sorted(us.tolist()):
-                if last_us is not None and t - last_us > gap_us:
-                    closed.append((start_us, last_us, n))
-                    start_us, n = t, 0
-                if start_us is None:
-                    start_us = t
-                last_us = t
-                n += 1
+            if pdf["ts"].dtype.kind == "M":
+                all_us.extend((pdf["ts"].astype("int64") // 1000).tolist())
+            else:
+                all_us.extend(pdf["ts"].tolist())
+        for t in sorted(all_us):
+            if last_us is not None and t - last_us > gap_us:
+                closed.append((start_us, last_us, n))
+                start_us, n = t, 0
+            if start_us is None:
+                start_us = t
+            last_us = t
+            n += 1
+        if start_us is None:
+            return  # no events and no prior state
         state.update((int(start_us), int(last_us), int(n)))
         state.setTimeoutDuration(timeout_ms)
         if closed:

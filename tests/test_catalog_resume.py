@@ -53,3 +53,33 @@ def test_content_hash_stable_across_parallelism(spark, docs, tmp_path):
     h1 = {b: v["content_hash"] for b, v in cat1.counters("s").items()}
     h2 = {b: v["content_hash"] for b, v in cat2.counters("s").items()}
     assert h1 == h2
+
+
+def test_orphan_partitions_invisible_until_committed(spark, docs, tmp_path):
+    """Snapshot isolation: partition directories written by a crashed
+    job (data present, manifest missing) must not be visible to
+    readers and must be recomputed (overwritten) on resume."""
+    import glob
+    import shutil
+
+    cat = CheckpointCatalog(str(tmp_path / "wh"))
+    cat.write_stage(docs.filter(F.col("batch_id") < 6), "s")
+
+    # simulate a crash AFTER data write but BEFORE manifest commit for
+    # batches 6-7: write their parquet dirs directly, no manifest entry
+    (
+        docs.filter(F.col("batch_id") >= 6)
+        .write.mode("append")
+        .partitionBy("batch_id")
+        .parquet(str(tmp_path / "wh" / "s"))
+    )
+    assert glob.glob(str(tmp_path / "wh" / "s" / "batch_id=7"))  # orphan exists
+
+    visible = cat.read_stage(spark, "s")
+    assert visible.filter(F.col("batch_id") >= 6).count() == 0  # invisible
+    assert visible.count() == 300  # 6 of 8 batches x 50
+
+    # resume commits 6-7 (dynamic overwrite replaces the orphan files)
+    snap = cat.write_stage(docs, "s")
+    assert sorted(int(b) for b in snap["counters"]) == [6, 7]
+    assert cat.read_stage(spark, "s").count() == 400

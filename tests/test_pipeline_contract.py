@@ -8,6 +8,7 @@ Lund-COVID-style corpus:
   * deterministic audits across runs/parallelism.
 """
 
+import pandas as pd
 import pytest
 from pyspark.sql import functions as F
 
@@ -121,18 +122,57 @@ def test_nel_mint_deterministic_and_reused(engine, spark):
 
 def test_audit_hash_stable_across_parallelism(spark):
     a1 = {
-        (r["batch_id"]): (r["n_docs"], r["text_hash_sum"])
+        (r["batch_id"]): (r["n_docs"], r["text_hash_sum"], r["text_hash_xor"])
         for r in audit_hashes(
             extract_documents(pages_df(spark, n_docs=60, n_partitions=2), n_batches=4)
         ).collect()
     }
     a2 = {
-        (r["batch_id"]): (r["n_docs"], r["text_hash_sum"])
+        (r["batch_id"]): (r["n_docs"], r["text_hash_sum"], r["text_hash_xor"])
         for r in audit_hashes(
             extract_documents(pages_df(spark, n_docs=60, n_partitions=16), n_batches=4)
         ).collect()
     }
     assert a1 == a2
+
+
+def test_recrawled_urls_keep_latest(spark, oracle):
+    """Duplicate urls (re-crawls) must collapse to ONE document — the
+    latest warc_ts — in both engine and oracle; duplicate doc_ids would
+    corrupt every (doc_id, sent_idx) join downstream."""
+    import datetime as dt
+
+    pdf = make_pages_pdf(n_docs=30)
+    dup = pdf.iloc[:5].copy()
+    dup["warc_ts"] = dup["warc_ts"] + pd.Timedelta(days=1)
+    dup["text"] = "recrawled text only. one sentence."
+    both = pd.concat([pdf, dup], ignore_index=True)
+
+    from pyspark.sql import types as T
+
+    schema = T.StructType(
+        [
+            T.StructField("url", T.StringType(), False),
+            T.StructField("warc_ts", T.TimestampType(), False),
+            T.StructField("html", T.BinaryType(), True),
+            T.StructField("text", T.StringType(), True),
+            T.StructField("lang", T.StringType(), True),
+        ]
+    )
+    docs = extract_documents(spark.createDataFrame(both, schema), n_batches=4)
+    rows = docs.collect()
+    urls = [r["url"] for r in rows]
+    assert len(urls) == len(set(urls))  # one row per url
+    got = {r["url"]: r["text"] for r in rows}
+    want = {
+        url: d["text"]
+        for url, d in run_oracle(both, GAZETTEER, NEL_LOOKUP)["documents"].items()
+    }
+    assert got == want
+    # the re-crawled urls carry the NEW text
+    for u in dup["url"]:
+        if u in got and pdf.loc[pdf.url == u, "lang"].iloc[0] == "en":
+            assert got[u] == "recrawled text only. one sentence."
 
 
 def test_full_pipeline_orchestrator_matches_oracle(spark, tmp_path, oracle):
