@@ -1,0 +1,117 @@
+"""Similarity search over embedding columns — the engine-API versions
+of the contract queries (embed_knn_bruteforce / embed_lsh_*), plus an
+IVF (inverted-file) index: the classic coarse-quantizer ANN scale path.
+
+Shapes that matter at 10^9+ vectors:
+* brute force — exact baseline: broadcast the (small) query side, dot
+  products via zip_with/aggregate (JVM, codegen), window top-k;
+* LSH — stateless bucketing (hyperplane signs), no training pass;
+* IVF — one pass to pick deterministic centroids + one assignment
+  pass builds the inverted lists; a query probes only the ``nprobe``
+  nearest lists, so the candidate set is ~nprobe/nlist of the corpus.
+  Real systems train centroids with k-means; here the quantizer is a
+  deterministic vector sample (seeded by vec id hash) — the INDEX
+  structure, partitioning and probe math are the real thing, only the
+  centroid quality differs (document: swap in ml.clustering.KMeans on
+  a cluster for tighter lists).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window, functions as F
+
+_DOT = (
+    "aggregate(zip_with({a}, {b}, (x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)),"
+    " 0D, (acc, v) -> acc + v)"
+)
+_NORM2 = (
+    "aggregate(transform({a}, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)),"
+    " 0D, (acc, v) -> acc + v)"
+)
+
+
+def _cosine(a: str, b: str):
+    return F.expr(_DOT.format(a=a, b=b)) / F.sqrt(
+        F.expr(_NORM2.format(a=a)) * F.expr(_NORM2.format(a=b))
+    )
+
+
+def brute_force_knn(
+    vectors: DataFrame, queries: DataFrame, k: int = 10
+) -> DataFrame:
+    """Exact top-k: queries(qid, qe) × vectors(vec_id, embedding).
+    Query side broadcast; O(|Q|·|V|·d) JVM work, no shuffle of V."""
+    q = queries.select(F.col(queries.columns[0]).alias("qid"), F.col(queries.columns[1]).alias("qe"))
+    c = vectors.select(F.col("vec_id").alias("cid"), F.col("embedding").alias("ce"))
+    scored = F.broadcast(q).join(c, F.col("qid") != F.col("cid")).select(
+        "qid", "cid", _cosine("qe", "ce").alias("cosine")
+    )
+    w = Window.partitionBy("qid").orderBy(F.desc("cosine"), "cid")
+    return scored.withColumn("rnk", F.row_number().over(w)).filter(F.col("rnk") <= k)
+
+
+def ivf_build(
+    vectors: DataFrame, nlist: int = 16
+) -> tuple[DataFrame, DataFrame]:
+    """→ (centroids(list_id, centroid), assignments(vec_id, list_id)).
+
+    Deterministic quantizer: the ``nlist`` vectors with the smallest
+    xxhash64(vec_id) become centroids (a seeded uniform sample);
+    each vector joins its max-cosine centroid (broadcast argmax)."""
+    w = Window.orderBy(F.xxhash64(F.col("vec_id")))
+    centroids = (
+        vectors.withColumn("_r", F.row_number().over(w))
+        .filter(F.col("_r") <= nlist)
+        .select(
+            (F.col("_r") - 1).cast("int").alias("list_id"),
+            F.col("embedding").alias("centroid"),
+        )
+    )
+    v = vectors.select("vec_id", F.col("embedding").alias("ve"))
+    scored = v.join(F.broadcast(centroids)).select(
+        "vec_id",
+        "list_id",
+        _cosine("ve", "centroid").alias("sim"),
+    )
+    aw = Window.partitionBy("vec_id").orderBy(F.desc("sim"), "list_id")
+    assignments = (
+        scored.withColumn("_rn", F.row_number().over(aw))
+        .filter(F.col("_rn") == 1)
+        .select("vec_id", "list_id")
+    )
+    return centroids, assignments
+
+
+def ivf_search(
+    vectors: DataFrame,
+    centroids: DataFrame,
+    assignments: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    nprobe: int = 4,
+) -> DataFrame:
+    """Probe the ``nprobe`` nearest inverted lists per query, exact
+    cosine re-rank inside them. Candidate fan-in ≈ nprobe/nlist of the
+    corpus — the scan never touches the other lists (partition/bucket
+    pruning when assignments are written bucketed by list_id)."""
+    q = queries.select(
+        F.col(queries.columns[0]).alias("qid"),
+        F.col(queries.columns[1]).alias("qe"),
+    )
+    qprobe = F.broadcast(q).join(F.broadcast(centroids)).select(
+        "qid", "qe", "list_id", _cosine("qe", "centroid").alias("sim")
+    )
+    pw = Window.partitionBy("qid").orderBy(F.desc("sim"), "list_id")
+    probes = (
+        qprobe.withColumn("_rn", F.row_number().over(pw))
+        .filter(F.col("_rn") <= nprobe)
+        .select("qid", "qe", "list_id")
+    )
+    cands = probes.join(assignments, "list_id").filter(
+        F.col("qid") != F.col("vec_id")
+    )
+    scored = cands.join(
+        vectors.select("vec_id", F.col("embedding").alias("ce")), "vec_id"
+    ).select("qid", F.col("vec_id").alias("cid"), _cosine("qe", "ce").alias("cosine"))
+    w = Window.partitionBy("qid").orderBy(F.desc("cosine"), "cid")
+    return scored.withColumn("rnk", F.row_number().over(w)).filter(F.col("rnk") <= k)
