@@ -156,6 +156,13 @@ def main() -> None:
     ap.add_argument("--n-docs", type=int, default=2000)
     ap.add_argument("--n-batches", type=int, default=64)
     ap.add_argument("--no-canonical", action="store_true")
+    ap.add_argument(
+        "--stages",
+        default=None,
+        help="comma-separated subset of stages to run (the reference's "
+        "config 'ignore' map, inverted; e.g. --stages mentions,linked "
+        "re-runs NER+NEL over checkpointed sentences)",
+    )
     args = ap.parse_args()
 
     from .session import get_spark
@@ -172,6 +179,7 @@ def main() -> None:
         args.warehouse,
         n_batches=args.n_batches,
         canonicalize=not args.no_canonical,
+        stages=set(args.stages.split(",")) if args.stages else None,
     )
     print(json.dumps(report, indent=2, default=str))
 
