@@ -1629,3 +1629,69 @@ def q_dedup_embedding_cosine(spark, sf_dir):
         .filter(F.col("_c") >= 0.93)
         .select("vec_a", "vec_b", F.round("_c", 6).alias("cosine"))
     )
+
+
+@register(
+    "tpch_rollup_revenue",
+    """
+SELECT COALESCE(l_returnflag, 'ALL') AS returnflag,
+       COALESCE(l_linestatus, 'ALL') AS linestatus,
+       CAST(GROUPING(l_returnflag) * 2 + GROUPING(l_linestatus) AS BIGINT) AS grp,
+       CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue,
+       CAST(count(*) AS BIGINT) AS n
+FROM lineitem
+GROUP BY ROLLUP (l_returnflag, l_linestatus)
+""",
+)
+def q_tpch_rollup_revenue(spark, sf_dir):
+    """Hierarchical ROLLUP aggregate with GROUPING ids — the grouping-
+    sets surface (no reference counterpart; part of the general
+    relational surface a replacement engine must carry)."""
+    li = _read(spark, sf_dir, "lineitem")
+    return (
+        li.rollup("l_returnflag", "l_linestatus")
+        .agg(
+            F.sum(F.col("l_extendedprice").cast("decimal(18,2)"))
+            .cast("double")
+            .alias("revenue"),
+            F.count("*").alias("n"),
+            F.grouping_id().cast("bigint").alias("grp"),
+        )
+        .select(
+            F.coalesce("l_returnflag", F.lit("ALL")).alias("returnflag"),
+            F.coalesce("l_linestatus", F.lit("ALL")).alias("linestatus"),
+            "grp",
+            "revenue",
+            "n",
+        )
+    )
+
+
+@register(
+    "events_type_pivot",
+    """
+SELECT user_id,
+       CAST(COUNT(*) FILTER (WHERE event_type = 'click') AS BIGINT) AS n_click,
+       CAST(COUNT(*) FILTER (WHERE event_type = 'view') AS BIGINT) AS n_view,
+       CAST(COUNT(*) FILTER (WHERE event_type = 'purchase') AS BIGINT) AS n_purchase,
+       CAST(COUNT(*) FILTER (WHERE event_type = 'error') AS BIGINT) AS n_error,
+       CAST(COUNT(*) FILTER (WHERE event_type = 'signup') AS BIGINT) AS n_signup
+FROM events GROUP BY user_id
+""",
+)
+def q_events_type_pivot(spark, sf_dir):
+    """Pivot event types into per-user columns (Spark .pivot with an
+    explicit value list = one pass, no second distinct-scan job)."""
+    e = _read(spark, sf_dir, "events")
+    types = ["click", "view", "purchase", "error", "signup"]
+    out = (
+        e.groupBy("user_id")
+        .pivot("event_type", types)
+        .count()
+        .na.fill(0, types)
+    )
+    for t in types:
+        out = out.withColumnRenamed(t, f"n_{t}").withColumn(
+            f"n_{t}", F.col(f"n_{t}").cast("bigint")
+        )
+    return out
