@@ -93,10 +93,13 @@ class CheckpointCatalog:
         key, so new rows land in already-committed batches):
 
         * ``verify_counts`` (default): one counting pass over the
-          incoming frame; a batch is pending iff its incoming row count
-          differs from the committed count (changed batches are
-          re-committed via dynamic partition overwrite). Re-running an
-          unchanged stage is still a no-op.
+          incoming frame computing row count AND the order-insensitive
+          content hash; a batch is pending iff either differs from the
+          committed counters (changed batches are re-committed via
+          dynamic partition overwrite) — an in-place row change with an
+          unchanged count (e.g. latest-crawl-wins replacing a page's
+          text) is therefore re-committed, not silently kept stale.
+          Re-running an unchanged stage is still a no-op.
         * ``skip_committed``: the cheap immutable-input path — skip any
           batch ever committed without looking at the data (exactly the
           reference's skip-existing-file semantics).
@@ -107,14 +110,25 @@ class CheckpointCatalog:
             # partition-pruned resume filter (pushed into the scan)
             pending = df.filter(~F.col(partition_col).isin(*sorted(done)))
         elif done:
-            committed_counts = {b: c["rows"] for b, c in self.counters(stage).items()}
+            committed = self.counters(stage)
             incoming = {
-                int(r[partition_col]): r["n"]
-                for r in df.groupBy(partition_col).agg(F.count("*").alias("n")).collect()
+                int(r[partition_col]): (r["n"], r["h"])
+                for r in df.groupBy(partition_col)
+                .agg(
+                    F.count("*").alias("n"),
+                    F.expr("bit_xor(xxhash64(*))").alias("h"),
+                )
+                .collect()
             }
-            changed = sorted(
-                b for b, n in incoming.items() if committed_counts.get(b) != n
-            )
+
+            def _same(b: int, n: int, h) -> bool:
+                c = committed.get(b)
+                if c is None or c["rows"] != n:
+                    return False
+                # hash compare (count-only fallback for pre-hash manifests)
+                return "content_hash" not in c or c["content_hash"] == h
+
+            changed = sorted(b for b, (n, h) in incoming.items() if not _same(b, n, h))
             if not changed:
                 return {}
             pending = df.filter(F.col(partition_col).isin(changed))

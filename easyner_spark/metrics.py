@@ -20,7 +20,7 @@ from __future__ import annotations
 
 from collections import defaultdict
 
-from pyspark.sql import DataFrame, functions as F
+from pyspark.sql import DataFrame, Window as W, functions as F
 
 
 def entity_level_pr(
@@ -35,12 +35,19 @@ def entity_level_pr(
     A pred matches a gold iff same (doc_id, class) and both offsets are
     within ±tolerance (reference: ±offset_stride candidate offsets).
     """
+    # value-derived row ids, NOT monotonically_increasing_id: mii is not
+    # stable under task retry/recomputation, so tp_p counted from one
+    # materialization could disagree with n_pred from another. A
+    # row_number keyed on the span values (duplicate spans disambiguated
+    # deterministically) gives the same id on every recomputation.
+    wp = W.partitionBy("doc_id", "class").orderBy("pb", "pe")
     p = pred.select(
         "doc_id", "class", F.col("begin").alias("pb"), F.col("end").alias("pe")
-    ).withColumn("pid", F.monotonically_increasing_id())
+    ).withColumn("pid", F.row_number().over(wp))
+    wg = W.partitionBy("doc_id", "class").orderBy("gb", "ge")
     g = gold.select(
         "doc_id", "class", F.col("begin").alias("gb"), F.col("end").alias("ge")
-    ).withColumn("gid", F.monotonically_increasing_id())
+    ).withColumn("gid", F.row_number().over(wg))
 
     band = (
         (F.col("pb") >= F.col("gb") - tolerance)
@@ -50,8 +57,9 @@ def entity_level_pr(
     )
     matches = p.join(g, ["doc_id", "class"]).filter(band)
 
-    tp_pred = matches.select("class", "pid").distinct()
-    tp_gold = matches.select("class", "gid").distinct()
+    # pid/gid are per-(doc_id, class) row numbers → doc_id is part of the key
+    tp_pred = matches.select("class", "doc_id", "pid").distinct()
+    tp_gold = matches.select("class", "doc_id", "gid").distinct()
     per_class = (
         tp_gold.groupBy("class").agg(F.count("*").alias("tp"))
         .join(

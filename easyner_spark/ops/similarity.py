@@ -57,11 +57,21 @@ def ivf_build(
 
     Deterministic quantizer: the ``nlist`` vectors with the smallest
     xxhash64(vec_id) become centroids (a seeded uniform sample);
-    each vector joins its max-cosine centroid (broadcast argmax)."""
-    w = Window.orderBy(F.xxhash64(F.col("vec_id")))
+    each vector joins its max-cosine centroid (broadcast argmax).
+
+    Plan note: ``orderBy().limit(nlist)`` compiles to
+    TakeOrderedAndProject — a distributed per-partition top-k folded on
+    the driver — so the corpus is never sorted through one partition
+    (the prior ``row_number() over (ORDER BY ...)`` formulation was a
+    single-task global sort: the job bottleneck at 10^9 vectors). The
+    residual row_number window runs over the nlist-row result only."""
+    sample = (
+        vectors.select("vec_id", "embedding", F.xxhash64(F.col("vec_id")).alias("_h"))
+        .orderBy("_h")
+        .limit(nlist)
+    )
     centroids = (
-        vectors.withColumn("_r", F.row_number().over(w))
-        .filter(F.col("_r") <= nlist)
+        sample.withColumn("_r", F.row_number().over(Window.orderBy("_h")))
         .select(
             (F.col("_r") - 1).cast("int").alias("list_id"),
             F.col("embedding").alias("centroid"),

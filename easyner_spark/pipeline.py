@@ -46,10 +46,18 @@ def run_pipeline(
     canonicalize: bool = True,
     stages: set[str] | None = None,
     resolve_single_run_conflicts: bool = False,
+    analysis_sets: bool = False,
+    triples_cap: int | None = None,
 ) -> dict:
     """Execute (and checkpoint) the full chain; returns the lineage
     report {stage: {sec, rows, batches}}. ``stages`` filters which
-    stages run (the reference's `ignore` map, inverted)."""
+    stages run (the reference's `ignore` map, inverted).
+
+    ``analysis_sets``: opt back into the reference's articles_set
+    column (bounded/test corpora only — an unbounded array per surface
+    at web scale). ``triples_cap``: opt-in per-sentence mention cap for
+    entity-stuffed pages (None = exact, matches the sequential oracle;
+    set e.g. 32 on open web text and monitor the capped-sentence rate)."""
     gazetteer = gazetteer if gazetteer is not None else GAZETTEER
     nel_lookup = nel_lookup if nel_lookup is not None else NEL_LOOKUP
     cat = CheckpointCatalog(warehouse)
@@ -75,33 +83,41 @@ def run_pipeline(
         }
         return cat.read_stage(spark, name)
 
+    def need(name: str, for_stage: str) -> DataFrame:
+        """Checkpointed input for a --stages subset run; a clear error
+        (not a missing-parquet AnalysisException) when the prerequisite
+        stage was never committed to this warehouse."""
+        if not cat.committed_batches(name):
+            raise ValueError(
+                f"stage '{for_stage}' needs '{name}' committed in {warehouse}; "
+                f"run --stages {name} against this warehouse first"
+            )
+        return cat.read_stage(spark, name)
+
+    docs = sents = mentions = linked = triples = None
     if "documents" in want:
         docs = commit("documents", extract_documents(pages, n_batches=n_batches))
         report["documents"]["audit"] = [
             row.asDict() for row in audit_hashes(docs).orderBy("batch_id").collect()
         ][:8]
-    else:
-        docs = cat.read_stage(spark, "documents")
 
-    sents = (
-        commit("sentences", split_documents(docs))
-        if "sentences" in want
-        else cat.read_stage(spark, "sentences")
-    )
+    if "sentences" in want:
+        docs = docs if docs is not None else need("documents", "sentences")
+        sents = commit("sentences", split_documents(docs))
     # NOTE: conflict resolution (J3) applies to MULTI-run merges only
     # (reference: entity_merger2.py post-processes merged class runs);
     # the single dict run keeps nested/overlapping matches exactly like
     # PhraseMatcher (ner_spacy.py:144-155) — resolving here would break
     # mention-exact parity with the oracle.
     if "mentions" in want:
+        sents = sents if sents is not None else need("sentences", "mentions")
         m = dict_ner(sents, gazetteer)
         if resolve_single_run_conflicts:
             m = resolve_conflicts(m)
         mentions = commit("mentions", m)
-    else:
-        mentions = cat.read_stage(spark, "mentions")
 
     if "linked" in want:
+        mentions = mentions if mentions is not None else need("mentions", "linked")
         lookup = spark.createDataFrame(
             [{"entity": e, "id": i, "name": n} for e, i, n in nel_lookup]
         )
@@ -111,10 +127,10 @@ def run_pipeline(
         cat.write_stage(
             new_ents.withColumn("batch_id", F.lit(0)), "nel_new_entities"
         )
-    else:
-        linked = cat.read_stage(spark, "linked")
+    elif {"canonical", "triples", "analysis"} & want:
+        linked = need("linked", "canonical/triples/analysis")
 
-    if canonicalize and "canonical" in want:
+    if linked is not None and canonicalize and "canonical" in want:
         ents = linked.select(
             F.col("ent_id"), F.col("ent_name").alias("name")
         ).distinct()
@@ -124,26 +140,41 @@ def run_pipeline(
         linked = linked.join(F.broadcast(canon), "ent_id", "left").withColumn(
             "canon_id", F.coalesce("canon_id", "ent_id")
         )
-    else:
+    elif linked is not None:
         linked = linked.withColumn("canon_id", F.col("ent_id"))
 
-    triples = (
-        commit("triples", cooccurrence_triples(linked, sents))
-        if "triples" in want
-        else cat.read_stage(spark, "triples")
-    )
+    if "triples" in want:
+        sents = sents if sents is not None else need("sentences", "triples")
+        triples = commit(
+            "triples",
+            cooccurrence_triples(linked, sents, max_mentions_per_sentence=triples_cap),
+        )
 
     if "analysis" in want:
-        freq = entity_frequency(mentions).withColumn(
+        mentions = mentions if mentions is not None else need("mentions", "analysis")
+        # production default with_sets=False: never build per-surface
+        # doc_id arrays (unbounded for stopword-like surfaces at web
+        # scale); counts stay exact. The contract/test path opts back in
+        # via analysis_sets=True.
+        freq = entity_frequency(mentions, with_sets=analysis_sets).withColumn(
             "batch_id", F.lit(0)
         )  # aggregate table: single logical partition
         cat.write_stage(freq.drop("batch_count"), "entity_frequency")
-        idf = id_frequency(linked).withColumn("batch_id", F.lit(0))
+        idf = id_frequency(linked, with_sets=analysis_sets).withColumn(
+            "batch_id", F.lit(0)
+        )
         cat.write_stage(idf.drop("batch_count"), "id_frequency")
         report["analysis"] = {"done": True}
 
+    if triples is not None:
+        triples_total = triples.count()
+    elif cat.committed_batches("triples"):
+        # cheap manifest-side total for subset runs that skipped triples
+        triples_total = sum(c["rows"] for c in cat.counters("triples").values())
+    else:
+        triples_total = None
     report["_totals"] = {
-        "triples": triples.count(),
+        "triples": triples_total,
         "stages": sorted(report.keys()),
     }
     return report

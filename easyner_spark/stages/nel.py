@@ -14,14 +14,49 @@ across runs/parallelism, and downstream contracts (frequency RANKINGS,
 triple P/R on names) are unaffected.
 
 Plan shape: broadcast hash LEFT join against the dimension (dimension
-≪ facts at any scale); the mint path is one tiny distinct + window
-over ONLY the miss surfaces (bounded by vocabulary size, not corpus
-size), then broadcast back — no large shuffle anywhere.
+≪ facts at any scale); the mint path is a distinct over ONLY the miss
+surfaces, then broadcast back — no large shuffle anywhere.
+
+Mint numbering is a DISTRIBUTED two-phase rank (sort-based
+zipWithIndex): surfaces are bucketed by their 2-char prefix (a weakly
+order-preserving function of the sort key, so bucket-then-rank equals
+the global ``ROW_NUMBER() OVER (ORDER BY surface)``), ranked inside
+each bucket with a partitioned window, and shifted by the cumulative
+bucket counts (a window over the tiny per-bucket aggregate). On
+vocabulary-bounded gazetteers this matches the old single-partition
+window bit-for-bit; on open web text (every typo a distinct surface)
+it keeps the sort spread across buckets instead of one straggler task.
 """
 
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, Window, functions as F
+
+
+def _dense_rank_by(df: DataFrame, key: str, out_col: str, prefix_len: int = 2) -> DataFrame:
+    """Distributed deterministic ``ROW_NUMBER() OVER (ORDER BY key)``
+    (1-based) without a single-partition global sort.
+
+    Correctness: ``substring(key, 1, n)`` is weakly order-preserving
+    (UTF-8 byte order == codepoint order), so global rank =
+    (rows in strictly-smaller buckets) + (rank within own bucket).
+    The cumulative-offset window runs over one row per bucket —
+    bounded by alphabet², not by data size.
+    """
+    d = df.withColumn("_bkt", F.substring(F.col(key), 1, prefix_len))
+    w_off = Window.orderBy("_bkt").rowsBetween(Window.unboundedPreceding, -1)
+    offs = (
+        d.groupBy("_bkt")
+        .agg(F.count("*").alias("_n"))
+        .withColumn("_off", F.coalesce(F.sum("_n").over(w_off), F.lit(0)))
+        .drop("_n")
+    )
+    w_in = Window.partitionBy("_bkt").orderBy(key)
+    return (
+        d.join(F.broadcast(offs), "_bkt")
+        .withColumn(out_col, F.row_number().over(w_in) + F.col("_off"))
+        .drop("_bkt", "_off")
+    )
 
 
 def link_entities(
@@ -48,18 +83,14 @@ def link_entities(
     # misses from the pre-distinct surface set (partial-agg shuffles only
     # |vocab| rows) anti-joined against the dimension — cheaper than
     # re-deriving the full fact join a second time
-    misses = (
+    miss_surfaces = (
         mentions.select("surface")
         .distinct()
         .join(F.broadcast(lk.select(F.col("entity").alias("surface"))), "surface", "left_anti")
-        .withColumn(
-            "mint_id",
-            F.concat(
-                F.lit(mint_prefix),
-                F.row_number().over(Window.orderBy("surface")).cast("string"),
-            ),
-        )
     )
+    misses = _dense_rank_by(miss_surfaces, "surface", "_rnk").withColumn(
+        "mint_id", F.concat(F.lit(mint_prefix), F.col("_rnk").cast("string"))
+    ).drop("_rnk")
     new_entities = misses.select(
         F.col("surface").alias("entity"),
         F.col("mint_id").alias("id"),

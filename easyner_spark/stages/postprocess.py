@@ -169,5 +169,10 @@ def merge_separated(mentions: DataFrame, sentences: DataFrame) -> DataFrame:
     out = clean.select(
         "doc_id", "batch_id", "sent_idx", "surface", "begin", "end", "class", "source"
     ).unionByName(swept)
-    w = Window.partitionBy("doc_id", "sent_idx").orderBy("begin", "end")
+    # class/source in the ordering: same-span mentions of different
+    # classes would otherwise get nondeterministic indices across runs
+    # (merge.resolve_conflicts orders its equivalent window the same way)
+    w = Window.partitionBy("doc_id", "sent_idx").orderBy(
+        "begin", "end", "class", "source"
+    )
     return out.withColumn("mention_idx", F.row_number().over(w) - 1)

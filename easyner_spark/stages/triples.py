@@ -61,7 +61,10 @@ def _select_mentions(linked: DataFrame, subj_col: str, cap: int | None) -> DataF
     if cap is not None:
         # degree cap BEFORE pairing: a stateless filter bounding fan-out
         # at cap²/2 per sentence (entity-stuffed pages at web scale hit
-        # it; normal sentences never do) — no window, no extra shuffle
+        # it; normal sentences never do) — no window, no extra shuffle.
+        # OPT-IN (default None): the cap silently drops pairs on dense
+        # sentences, diverging from the uncapped sequential oracle —
+        # callers that enable it should monitor the capped-sentence rate.
         m = m.filter(F.col("mention_idx") < cap)
     return m
 
@@ -70,7 +73,7 @@ def cooccurrence_triples_grouped(
     linked: DataFrame,
     sentences: DataFrame,
     subj_col: str = "ent_name",
-    max_mentions_per_sentence: int | None = 32,
+    max_mentions_per_sentence: int | None = None,
 ) -> DataFrame:
     """→ triples(subj, pred, obj, doc_id, sent_idx, batch_id).
 
@@ -117,7 +120,7 @@ def cooccurrence_triples(
     linked: DataFrame,
     sentences: DataFrame,
     subj_col: str = "ent_name",
-    max_mentions_per_sentence: int | None = 32,
+    max_mentions_per_sentence: int | None = None,
 ) -> DataFrame:
     """Join-based formulation (the default; see module docstring for
     the measured comparison vs the grouped intra-row expansion)."""

@@ -14,7 +14,7 @@ both the streaming checkpoint AND the last committed partition.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession, functions as F, types as T
+from pyspark.sql import DataFrame, SparkSession, Window, functions as F, types as T
 
 from ..io.catalog import CheckpointCatalog
 from ..stages.extract import extract_documents
@@ -65,9 +65,20 @@ def start_ingest(
     pages = read_page_stream(spark, input_dir)
 
     def sink(batch_df: DataFrame, epoch_id: int) -> None:
+        # the stream dedups on (url, warc_ts) — a re-crawled url with a
+        # NEW timestamp still reaches the sink twice. Within the
+        # micro-batch keep only the latest crawl per url, otherwise one
+        # epoch stage would hold duplicate doc_id = sha2(url) rows (the
+        # exact corruption extract.py's docstring warns about).
+        w = Window.partitionBy("url").orderBy(F.desc("warc_ts"))
+        latest = (
+            batch_df.withColumn("_rn", F.row_number().over(w))
+            .filter(F.col("_rn") == 1)
+            .drop("_rn")
+        )
         docs = extract_documents(
-            batch_df, n_batches=n_batches, lang_filter=lang_filter, dedup_urls=False
-        )  # the stream already dedups by url upstream (watermarked)
+            latest, n_batches=n_batches, lang_filter=lang_filter, dedup_urls=False
+        )
         # append-style commit: allow new rows for already-seen batches by
         # keying the stage per epoch (each epoch is an atomic snapshot)
         cat.write_stage(docs, f"documents_epoch{epoch_id:06d}")
@@ -77,6 +88,45 @@ def start_ingest(
         .option("checkpointLocation", checkpoint_dir)
         .outputMode("update")
         .start()
+    )
+
+
+def read_documents_epochs(spark: SparkSession, warehouse: str) -> DataFrame:
+    """Latest-epoch-wins batch view over the ``documents_epoch*`` stages.
+
+    Each streaming epoch is an independent atomic snapshot, so a url
+    re-crawled across epochs appears once PER epoch. Consumers must not
+    union the epochs raw (doc_id double-count); this reader unions only
+    committed partitions and keeps, per doc_id, the row from the
+    highest epoch — and within it the latest warc_ts (deterministic
+    total order). One window shuffle on doc_id, same key as the
+    downstream stages.
+    """
+    import os
+    import re as _re
+
+    cat = CheckpointCatalog(warehouse)
+    names = sorted(
+        {
+            m.group(0)
+            for f in os.listdir(warehouse)
+            if (m := _re.match(r"documents_epoch\d{6}", f))
+        }
+    )
+    if not names:
+        raise ValueError(f"no documents_epoch* stages committed in {warehouse}")
+    parts = [
+        cat.read_stage(spark, n).withColumn("_epoch", F.lit(int(n[-6:])))
+        for n in names
+    ]
+    allrows = parts[0]
+    for p in parts[1:]:
+        allrows = allrows.unionByName(p)
+    w = Window.partitionBy("doc_id").orderBy(F.desc("_epoch"), F.desc("warc_ts"))
+    return (
+        allrows.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .drop("_rn", "_epoch")
     )
 
 
