@@ -1695,3 +1695,493 @@ def q_events_type_pivot(spark, sf_dir):
             f"n_{t}", F.col(f"n_{t}").cast("bigint")
         )
     return out
+
+
+# ---------------------------------------------------------------------------
+# round 2: driver-gated coverage for the remaining real engine paths —
+# multi-token n-gram NER, the J3 conflict sweep, F8 separator merge,
+# S9 span re-basing, A7 band-join P/R/F1.
+#
+# Corpus facts these oracles rely on (asserted in tests): documents.text
+# is lowercase \w+ tokens joined by SINGLE spaces, no leading/trailing
+# space — so the char offset of token i is the cumulative sum of
+# length+1 over preceding tokens, and an n-gram surface slice equals the
+# space-joined token sequence.
+# ---------------------------------------------------------------------------
+
+# multi-token gazetteer: bigrams, a hyphenated form (normalizes to
+# "sort merge" — N1's token-level normalization, textops.normalize_term),
+# an UPPERCASE form (case-insensitive matching, ner_spacy.py:41), two
+# trigrams, and a unigram that overlaps the bigrams (PhraseMatcher emits
+# ALL overlapping matches, ner_spacy.py:144-155).
+NGRAM_GAZ: dict[str, str] = {
+    "hash": "op",
+    "hash join": "alg",
+    "join order": "alg",
+    "sort-merge": "alg",
+    "MERGE JOIN": "alg",
+    "the hash join": "tri",
+    "table scan filter": "tri",
+}
+
+
+def _ngram_items() -> list[tuple[str, int, str]]:
+    from .textops import normalize_term
+
+    return sorted(
+        (normalize_term(t), normalize_term(t).count(" ") + 1, c)
+        for t, c in NGRAM_GAZ.items()
+    )
+
+
+# doc-level char-offset tokens + 1..3-gram candidates (shared by the
+# n-gram NER / conflict-sweep / eval oracles)
+_CTOKS_CTE = """
+WITH toks0 AS (
+  SELECT doc_id, unnest(lst) AS token, unnest(range(len(lst))) AS p
+  FROM (SELECT doc_id, string_split(text, ' ') AS lst FROM documents) t
+),
+ctoks AS (
+  SELECT doc_id, CAST(p AS INT) AS pos, token,
+         CAST(COALESCE(SUM(length(token) + 1) OVER (
+           PARTITION BY doc_id ORDER BY p
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS INT) AS cpos
+  FROM toks0 WHERE token <> ''
+),
+grams AS (
+  SELECT doc_id, pos, cpos,
+         token AS g1,
+         token || ' ' || LEAD(token, 1) OVER w AS g2,
+         token || ' ' || LEAD(token, 1) OVER w || ' ' || LEAD(token, 2) OVER w AS g3
+  FROM ctoks WINDOW w AS (PARTITION BY doc_id ORDER BY pos)
+)
+"""
+
+
+@register(
+    "ner_udf_ngram_mentions",
+    _CTOKS_CTE
+    + f""",
+gaz(term, n, class) AS (VALUES {", ".join(f"('{t}', {n}, '{c}')" for t, n, c in _ngram_items())}),
+m AS (
+  SELECT g.doc_id, g.cpos, z.term, z.class
+  FROM grams g JOIN gaz z ON z.n = 1 AND g.g1 = z.term
+  UNION ALL
+  SELECT g.doc_id, g.cpos, z.term, z.class
+  FROM grams g JOIN gaz z ON z.n = 2 AND g.g2 = z.term
+  UNION ALL
+  SELECT g.doc_id, g.cpos, z.term, z.class
+  FROM grams g JOIN gaz z ON z.n = 3 AND g.g3 = z.term
+)
+SELECT CAST(doc_id AS BIGINT) AS doc_id,
+       CAST(ROW_NUMBER() OVER (
+         PARTITION BY doc_id ORDER BY cpos, cpos + length(term) - 1, class
+       ) - 1 AS INT) AS mention_idx,
+       term AS surface,
+       cpos AS m_begin,
+       CAST(cpos + length(term) - 1 AS INT) AS m_end,
+       class
+FROM m
+""",
+)
+def q_ner_udf_ngram_mentions(spark, sf_dir):
+    """The REAL vectorized n-gram gazetteer matcher
+    (textops.match_terms_batch via stages.ner_dict) over multi-token /
+    hyphenated / mixed-case terms, full-row checked: every (begin,
+    end INCLUSIVE, surface, class, mention_idx) must equal the DuckDB
+    token-ngram join. This is the path most likely to silently diverge
+    (numpy shift alignment, NUL-blob offsets, normalization) —
+    reference semantics: spaCy PhraseMatcher(attr="LOWER"),
+    ner_spacy.py:41-54,144-159."""
+    from .stages.ner_dict import dict_ner
+
+    docs = _read(spark, sf_dir, "documents").select(
+        F.col("doc_id").cast("bigint").alias("doc_id"),
+        F.lit(0).alias("batch_id"),
+        F.lit(0).alias("sent_idx"),
+        "text",
+    )
+    m = dict_ner(docs, NGRAM_GAZ)
+    return m.select(
+        "doc_id",
+        F.col("mention_idx").cast("int").alias("mention_idx"),
+        "surface",
+        F.col("begin").alias("m_begin"),
+        F.col("end").alias("m_end"),
+        "class",
+    )
+
+
+# J3 conflict-sweep gazetteer, chosen so every sweep outcome is
+# closed-form (see q_merge_conflicts_resolved): A="slow hash" (9 chars)
+# B="hash batch" (10 chars) overlap exactly when the trigram
+# "slow hash batch" occurs; both first tokens are 4 chars so the second
+# token always sits at begin+5.
+CONFLICT_GAZ: dict[str, str] = {
+    "slow": "adj",
+    "hash": "op",
+    "batch": "op",
+    "slow hash": "alg",
+    "hash batch": "alg",
+}
+
+
+@register(
+    "merge_conflicts_resolved",
+    _CTOKS_CTE
+    + """,
+ga AS (SELECT doc_id, cpos AS b FROM grams WHERE g2 = 'slow hash'),
+gb AS (SELECT doc_id, cpos AS b FROM grams WHERE g2 = 'hash batch'),
+a_surv AS (
+  SELECT * FROM ga a
+  WHERE NOT EXISTS (SELECT 1 FROM gb WHERE gb.doc_id = a.doc_id AND gb.b = a.b + 5)
+),
+u AS (
+  SELECT doc_id, cpos AS b, token FROM ctoks
+  WHERE token IN ('slow', 'hash', 'batch')
+),
+surv AS (
+  SELECT doc_id, b AS m_begin, CAST(b + 9 AS INT) AS m_end,
+         'hash batch' AS surface, 'alg' AS class
+  FROM gb
+  UNION ALL
+  SELECT doc_id, b, CAST(b + 8 AS INT), 'slow hash', 'alg' FROM a_surv
+  UNION ALL
+  SELECT u.doc_id, u.b, CAST(u.b + length(u.token) - 1 AS INT), u.token,
+         CASE u.token WHEN 'slow' THEN 'adj' ELSE 'op' END
+  FROM u
+  WHERE (u.token = 'slow' AND NOT EXISTS (
+           SELECT 1 FROM a_surv s WHERE s.doc_id = u.doc_id AND s.b = u.b))
+     OR (u.token = 'hash'
+         AND NOT EXISTS (SELECT 1 FROM ga WHERE ga.doc_id = u.doc_id AND ga.b = u.b - 5)
+         AND NOT EXISTS (SELECT 1 FROM gb WHERE gb.doc_id = u.doc_id AND gb.b = u.b))
+     OR (u.token = 'batch' AND NOT EXISTS (
+           SELECT 1 FROM gb WHERE gb.doc_id = u.doc_id AND gb.b = u.b - 5))
+)
+SELECT CAST(doc_id AS BIGINT) AS doc_id,
+       CAST(ROW_NUMBER() OVER (
+         PARTITION BY doc_id ORDER BY m_begin, m_end, class
+       ) - 1 AS INT) AS mention_idx,
+       surface, m_begin, m_end, class
+FROM surv
+""",
+)
+def q_merge_conflicts_resolved(spark, sf_dir):
+    """The REAL J3 conflict sweep (stages.merge.resolve_conflicts — the
+    applyInPandas grouped map with single-mention bypass) over
+    deliberately overlapping gazetteer matches; reference semantics
+    entity_merger2.py:99-146.
+
+    The sweep deletes from the END of the (begin, end)-sorted list, so
+    a span can survive because its only dominator was itself deleted
+    first — not expressible as one SQL dominance predicate. The oracle
+    instead encodes the sweep's CLOSED FORM for this gazetteer, derived
+    from processing order: 'hash batch' (B) has no longer rival → always
+    survives; 'slow hash' (A) dies exactly under a partial overlap with
+    B (trigram 'slow hash batch'; rule c, shorter surface loses);
+    'slow' shares A's begin → processed after A's fate → dies iff A
+    SURVIVED (the survivor-dependence case); 'hash'/'batch' start
+    strictly inside their containers → processed while the container is
+    still present → die vs the ORIGINAL container set (rule b). The
+    same-span class-priority rule (a) cannot trigger from a single dict
+    run (same span ⇒ same normalized term) and stays pinned by pytest
+    (tests/test_merge_postprocess_model.py)."""
+    from .stages.merge import resolve_conflicts
+    from .stages.ner_dict import dict_ner
+
+    docs = _read(spark, sf_dir, "documents").select(
+        F.col("doc_id").cast("bigint").alias("doc_id"),
+        F.lit(0).alias("batch_id"),
+        F.lit(0).alias("sent_idx"),
+        "text",
+    )
+    resolved = resolve_conflicts(dict_ner(docs, CONFLICT_GAZ))
+    return resolved.select(
+        "doc_id",
+        F.col("mention_idx").cast("int").alias("mention_idx"),
+        "surface",
+        F.col("begin").alias("m_begin"),
+        F.col("end").alias("m_end"),
+        "class",
+    )
+
+
+@register(
+    "postprocess_sep_merge",
+    """
+WITH p AS (
+  SELECT doc_id, string_split(text, ' ') AS l FROM documents
+  WHERE len(string_split(text, ' ')) >= 4
+),
+t AS (SELECT doc_id, l[1] AS t0, l[2] AS t1, l[3] AS t2, l[4] AS t3 FROM p)
+SELECT CAST(doc_id AS BIGINT) AS doc_id,
+       CAST(0 AS INT) AS mention_idx,
+       t0 || '-' || t1 AS surface,
+       CAST(0 AS INT) AS m_begin,
+       CAST(length(t0) + 1 + length(t1) AS INT) AS m_end
+FROM t
+UNION ALL
+SELECT CAST(doc_id AS BIGINT),
+       CAST(1 AS INT),
+       t2 || '(' || t3,
+       CAST(length(t0) + length(t1) + 2 AS INT),
+       CAST(length(t0) + length(t1) + 2 + length(t2) + 1 + length(t3) AS INT)
+FROM t
+""",
+)
+def q_postprocess_sep_merge(spark, sf_dir):
+    """The REAL F8 separator-merge sweep (stages.postprocess.
+    merge_separated — applyInPandas over EXCLUSIVE-end model spans;
+    reference postprocess_separator_merging.py:24-119) on a
+    deterministically constructed sentence per document:
+    ``t0-t1 t2(t3`` (tokens 0-3 of the document text). The mention set
+    {t0, t1, t2(} forces rule 5 (merge across exactly one separator →
+    t0-t1), then rule 4 on t2( (ends with separator, no adjacent
+    mention → extend right through t3). The oracle states the expected
+    merged spans in closed form — both engines compute them from the
+    same four tokens, so any drift in the sweep or its Spark plumbing
+    breaks the hash."""
+    from .stages.postprocess import merge_separated
+
+    d = (
+        _read(spark, sf_dir, "documents")
+        .select(
+            F.col("doc_id").cast("string").alias("doc_id"),
+            F.split("text", " ").alias("l"),
+        )
+        .filter(F.size("l") >= 4)
+    )
+    base = d.select(
+        "doc_id",
+        F.col("l")[0].alias("t0"),
+        F.col("l")[1].alias("t1"),
+        F.col("l")[2].alias("t2"),
+        F.col("l")[3].alias("t3"),
+    )
+    sent = base.select(
+        "doc_id",
+        F.lit(0).alias("sent_idx"),
+        F.concat(
+            F.col("t0"), F.lit("-"), F.col("t1"), F.lit(" "),
+            F.col("t2"), F.lit("("), F.col("t3"),
+        ).alias("text"),
+    )
+    l0, l1, l2 = F.length("t0"), F.length("t1"), F.length("t2")
+    m = base.select(
+        "doc_id",
+        F.explode(
+            F.array(
+                F.struct(
+                    F.col("t0").alias("surface"),
+                    F.lit(0).cast("int").alias("begin"),
+                    l0.cast("int").alias("end"),
+                ),
+                F.struct(
+                    F.col("t1").alias("surface"),
+                    (l0 + 1).cast("int").alias("begin"),
+                    (l0 + 1 + l1).cast("int").alias("end"),
+                ),
+                F.struct(
+                    F.concat(F.col("t2"), F.lit("(")).alias("surface"),
+                    (l0 + l1 + 2).cast("int").alias("begin"),
+                    (l0 + l1 + 2 + l2 + 1).cast("int").alias("end"),
+                ),
+            )
+        ).alias("mn"),
+    ).select(
+        "doc_id",
+        F.lit(0).alias("batch_id"),
+        F.lit(0).alias("sent_idx"),
+        F.col("mn.surface").alias("surface"),
+        F.col("mn.begin").alias("begin"),
+        F.col("mn.end").alias("end"),
+        F.lit("x").alias("class"),
+        F.lit("model").alias("source"),
+    )
+    out = merge_separated(m, sent)
+    return out.select(
+        F.col("doc_id").cast("bigint").alias("doc_id"),
+        F.col("mention_idx").cast("int").alias("mention_idx"),
+        "surface",
+        F.col("begin").alias("m_begin"),
+        F.col("end").alias("m_end"),
+    )
+
+
+@register(
+    "pubtator_rebase",
+    _SENTENCES_CTE
+    + f""",
+lb AS (
+  SELECT doc_id, sent_idx, pos, token,
+         CAST(COALESCE(SUM(length(token) + 1) OVER (
+           PARTITION BY doc_id, sent_idx ORDER BY pos
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS INT) AS lbeg
+  FROM toks
+),
+sbase AS (
+  SELECT doc_id, sent_idx,
+         CAST(COALESCE(SUM(length(sent_text) + 1) OVER (
+           PARTITION BY doc_id ORDER BY sent_idx
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS INT) AS base
+  FROM sentences
+),
+gaz(term, class) AS (VALUES {_sql_values_gaz()})
+SELECT l.doc_id, l.sent_idx, l.token AS surface, g.class,
+       l.lbeg AS m_begin,
+       CAST(l.lbeg + s.base AS INT) AS doc_begin,
+       CAST(l.lbeg + length(l.token) - 1 + s.base AS INT) AS doc_end
+FROM lb l
+JOIN gaz g ON l.token = g.term
+JOIN sbase s ON s.doc_id = l.doc_id AND s.sent_idx = l.sent_idx
+""",
+)
+def q_pubtator_rebase(spark, sf_dir):
+    """S9 span re-basing through the REAL export path
+    (io.sinks.rebase_mention_offsets — the W2 running-sum window;
+    reference convert_easyner_output_json_to_pubtator.py:41-57):
+    sentence-local char offsets are rebased to document offsets by the
+    cumulative length+1 of preceding sentences, checked against an
+    independent SQL double-window formulation."""
+    from .io.sinks import rebase_mention_offsets
+
+    toks = tokens(spark, sf_dir)
+    wl = (
+        W.partitionBy("doc_id", "sent_idx")
+        .orderBy("pos")
+        .rowsBetween(W.unboundedPreceding, -1)
+    )
+    ctoks = toks.withColumn(
+        "lbeg",
+        F.coalesce(F.sum(F.length("token") + 1).over(wl), F.lit(0)).cast("int"),
+    )
+    m = ctoks.join(F.broadcast(gaz_df(spark)), F.col("token") == F.col("term")).select(
+        "doc_id",
+        "sent_idx",
+        F.col("token").alias("surface"),
+        "class",
+        F.col("lbeg").alias("begin"),
+        (F.col("lbeg") + F.length("token") - 1).cast("int").alias("end"),
+    )
+    sent = sentences(spark, sf_dir).select(
+        "doc_id", "sent_idx", F.col("sent_text").alias("text")
+    )
+    rb = rebase_mention_offsets(m, sent)
+    return rb.select(
+        "doc_id",
+        "sent_idx",
+        "surface",
+        "class",
+        F.col("begin").alias("m_begin"),
+        F.col("doc_begin").cast("int").alias("doc_begin"),
+        F.col("doc_end").cast("int").alias("doc_end"),
+    )
+
+
+@register(
+    "eval_band_pr",
+    _CTOKS_CTE
+    + f""",
+gaz(term, class) AS (VALUES {_sql_values_gaz()}),
+pred AS (
+  SELECT c.doc_id, g.class, c.pos, c.cpos AS pb,
+         CAST(c.cpos + length(c.token) - 1 AS INT) AS pe
+  FROM ctoks c JOIN gaz g ON c.token = g.term
+),
+gold AS (
+  SELECT doc_id, class, pb + 1 AS gb, pe + 1 AS ge FROM pred WHERE pos % 3 <> 0
+  UNION ALL
+  SELECT doc_id, class, pb + 5, pe + 5 FROM pred WHERE pos % 5 = 0
+),
+p AS (SELECT doc_id, class, pb, pe,
+             ROW_NUMBER() OVER (PARTITION BY doc_id, class ORDER BY pb, pe) AS pid
+      FROM pred),
+g AS (SELECT doc_id, class, gb, ge,
+             ROW_NUMBER() OVER (PARTITION BY doc_id, class ORDER BY gb, ge) AS gid
+      FROM gold),
+mt AS (
+  SELECT p.class, p.doc_id, p.pid, g.gid
+  FROM p JOIN g ON p.doc_id = g.doc_id AND p.class = g.class
+    AND p.pb BETWEEN g.gb - 1 AND g.gb + 1
+    AND p.pe BETWEEN g.ge - 1 AND g.ge + 1
+),
+tpg AS (SELECT class, CAST(count(*) AS BIGINT) AS tp
+        FROM (SELECT DISTINCT class, doc_id, gid FROM mt) GROUP BY class),
+tpp AS (SELECT class, CAST(count(*) AS BIGINT) AS tp_p
+        FROM (SELECT DISTINCT class, doc_id, pid FROM mt) GROUP BY class),
+np AS (SELECT class, CAST(count(*) AS BIGINT) AS n_pred FROM pred GROUP BY class),
+ng AS (SELECT class, CAST(count(*) AS BIGINT) AS n_gold FROM gold GROUP BY class),
+per AS (
+  SELECT cls.class,
+         COALESCE(tp, 0) AS tp,
+         COALESCE(n_pred, 0) - COALESCE(tp_p, 0) AS fp,
+         COALESCE(n_gold, 0) - COALESCE(tp, 0) AS fn
+  FROM (SELECT DISTINCT class FROM pred UNION SELECT DISTINCT class FROM gold) cls
+  LEFT JOIN tpg USING (class) LEFT JOIN tpp USING (class)
+  LEFT JOIN np USING (class) LEFT JOIN ng USING (class)
+),
+scored AS (
+  SELECT class, tp, fp, fn,
+         CASE WHEN tp + fp > 0 THEN CAST(tp AS DOUBLE) / (tp + fp) ELSE 0.0 END AS p_raw,
+         CASE WHEN tp + fn > 0 THEN CAST(tp AS DOUBLE) / (tp + fn) ELSE 0.0 END AS r_raw
+  FROM per
+)
+SELECT class, tp, fp, fn,
+       round(p_raw, 6) AS prec,
+       round(r_raw, 6) AS rec,
+       round(CASE WHEN p_raw + r_raw > 0
+                  THEN 2 * p_raw * r_raw / (p_raw + r_raw) ELSE 0.0 END, 6) AS f1
+FROM scored
+""",
+)
+def q_eval_band_pr(spark, sf_dir):
+    """A7/J4 through the REAL metrics path (metrics.entity_level_pr —
+    the ±tolerance band join with value-derived match ids; reference
+    evaluate_ner_pubtatorformat.py:234-246,380-498). Pred = gazetteer
+    mentions at document-level char offsets; gold = the same mentions
+    shifted +1 (inside tolerance → TP) with every pos%3==0 row dropped
+    (pred-only rows → FP) plus pos%5==0 rows shifted +5 (outside
+    tolerance → FN), so all three counters are non-trivially exercised
+    per class."""
+    from .metrics import entity_level_pr
+
+    toks = tokens(spark, sf_dir)
+    wc = W.partitionBy("doc_id").orderBy("pos").rowsBetween(W.unboundedPreceding, -1)
+    ctoks = toks.withColumn(
+        "cpos",
+        F.coalesce(F.sum(F.length("token") + 1).over(wc), F.lit(0)).cast("int"),
+    )
+    pred = ctoks.join(F.broadcast(gaz_df(spark)), F.col("token") == F.col("term")).select(
+        "doc_id",
+        "class",
+        "pos",
+        F.col("cpos").alias("begin"),
+        (F.col("cpos") + F.length("token") - 1).cast("int").alias("end"),
+    )
+    gold = (
+        pred.filter(F.col("pos") % 3 != 0)
+        .select(
+            "doc_id",
+            "class",
+            (F.col("begin") + 1).alias("begin"),
+            (F.col("end") + 1).alias("end"),
+        )
+        .unionByName(
+            pred.filter(F.col("pos") % 5 == 0).select(
+                "doc_id",
+                "class",
+                (F.col("begin") + 5).alias("begin"),
+                (F.col("end") + 5).alias("end"),
+            )
+        )
+    )
+    pr = entity_level_pr(pred.drop("pos"), gold, tolerance=1)
+    return pr.select(
+        "class",
+        F.col("tp").cast("bigint").alias("tp"),
+        F.col("fp").cast("bigint").alias("fp"),
+        F.col("fn").cast("bigint").alias("fn"),
+        F.round("precision", 6).alias("prec"),
+        F.round("recall", 6).alias("rec"),
+        F.round("f1", 6).alias("f1"),
+    )

@@ -119,6 +119,7 @@ def transformer_ner(
     fp16: bool = True,
     min_score: float = 0.0,
     normalize_spans: bool = True,
+    tagger: TaggerFn | None = None,
 ) -> DataFrame:
     """sentences → mentions(doc_id, batch_id, sent_idx, mention_idx,
     surface, begin, end, class, source='model', score).
@@ -126,13 +127,19 @@ def transformer_ner(
     ``normalize_spans=True`` converts the model path's exclusive ends
     to the mentions-table INCLUSIVE convention (end - 1) so downstream
     stages see one convention (SURVEY.md §1.2 span-duality note).
+
+    ``tagger``: explicit tagger callable, cloudpickled to executors
+    (custom models / test fixtures); the default resolves
+    ``model_name`` via the per-worker lazy singleton cache.
     """
 
     def infer(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        tagger = get_tagger(model_name, sentence_batch_size, fp16)
+        tag = tagger if tagger is not None else get_tagger(
+            model_name, sentence_batch_size, fp16
+        )
         for pdf in batches:
             sents = pdf["text"].fillna("").tolist()
-            tagged = tagger(sents)
+            tagged = tag(sents)
             rows = []
             for (_, row), ents in zip(pdf.iterrows(), tagged):
                 for k, (word, start, end, cls, score) in enumerate(ents):
