@@ -2197,6 +2197,52 @@ def q_eval_band_pr(spark, sf_dir):
     )
 
 
+@register(
+    "merge_runs_union",
+    _CTOKS_CTE
+    + """,
+run_a AS (
+  SELECT doc_id, cpos AS m_begin, CAST(cpos + length(token) - 1 AS INT) AS m_end,
+         token AS surface, 'disease' AS class, 'run_a' AS source
+  FROM ctoks WHERE token IN ('slow', 'fast')
+),
+run_b AS (
+  SELECT doc_id, cpos, CAST(cpos + length(token) - 1 AS INT),
+         token, 'chemical', 'run_b'
+  FROM ctoks WHERE token IN ('hash', 'merge')
+)
+SELECT CAST(doc_id AS BIGINT) AS doc_id, m_begin, m_end, surface, class, source
+FROM (SELECT * FROM run_a UNION ALL SELECT * FROM run_b) u
+""",
+)
+def q_merge_runs_union(spark, sf_dir):
+    """J2/U2 through the REAL merge path (stages.merge.
+    merge_mention_runs over two dict_ner runs with disjoint per-class
+    gazetteers — the reference runs one NER model per entity class and
+    zips the outputs, entity_merger.py:40-65; in the mentions-table
+    model that is UNION ALL with class/source provenance columns)."""
+    from .stages.merge import merge_mention_runs
+    from .stages.ner_dict import dict_ner
+
+    docs = _read(spark, sf_dir, "documents").select(
+        F.col("doc_id").cast("bigint").alias("doc_id"),
+        F.lit(0).alias("batch_id"),
+        F.lit(0).alias("sent_idx"),
+        "text",
+    )
+    run_a = dict_ner(docs, {"slow": "disease", "fast": "disease"}, source="run_a")
+    run_b = dict_ner(docs, {"hash": "chemical", "merge": "chemical"}, source="run_b")
+    merged = merge_mention_runs(run_a, run_b)
+    return merged.select(
+        "doc_id",
+        F.col("begin").alias("m_begin"),
+        F.col("end").alias("m_end"),
+        "surface",
+        "class",
+        "source",
+    )
+
+
 # ---------------------------------------------------------------------------
 # training-data curation operators (round 2): deterministic sampling,
 # quality-stratified downsampling, context-window sharding, keep-best
