@@ -20,7 +20,7 @@ unioned back.
 from __future__ import annotations
 
 import pandas as pd
-from pyspark.sql import DataFrame, Window, functions as F, types as T
+from pyspark.sql import DataFrame, functions as F, types as T
 
 from ..textops import extract_html
 
@@ -79,13 +79,23 @@ def extract_documents(
         pages = pages.filter(F.col("lang") == lang_filter)
 
     if dedup_urls:
-        w = Window.partitionBy("url").orderBy(
-            F.desc("warc_ts"), F.desc(F.md5(F.col("html")))
+        # hash-aggregate argmax, NOT a row_number window: groupBy gets
+        # map-side PARTIAL aggregation, so with re-crawl duplicates the
+        # shuffle carries one candidate row per url per map partition
+        # (a window shuffles every row, then sorts each partition).
+        # Ordering key is TOTAL (ts, html hash, text hash, lang) so the
+        # winner is deterministic even for same-ts re-crawls.
+        cols = pages.columns
+        okey = F.struct(
+            F.col("warc_ts").alias("ts"),
+            F.md5(F.col("html")).alias("hh"),
+            F.xxhash64(F.col("text")).alias("th"),
+            F.col("lang").alias("lg"),
         )
         pages = (
-            pages.withColumn("_rn", F.row_number().over(w))
-            .filter(F.col("_rn") == 1)
-            .drop("_rn")
+            pages.groupBy("url")
+            .agg(F.max_by(F.struct(*cols), okey).alias("_r"))
+            .select("_r.*")
         )
 
     base = pages.withColumn(
