@@ -62,11 +62,15 @@ def run_bench(sf_dir: str, cpus: str, n_corpus_docs: int | None = None) -> dict:
     def kg_run(src):
         docs = extract_documents(src, n_batches=64)
         sents = split_documents(docs).persist()
-        mentions = dict_ner(sents, GAZETTEER)
+        # mentions persisted like scaling_bench: the NEL mint derives
+        # its miss dimension from mentions, and without the cache that
+        # subplan re-executes the whole UDF chain (production reads the
+        # mentions stage table from the warehouse instead)
+        mentions = dict_ner(sents, GAZETTEER).persist()
         linked, _ = link_entities(mentions, lookup)
         linked = linked.persist()
         nt = cooccurrence_triples(linked, sents).count()
-        for df in (sents, linked):
+        for df in (sents, mentions, linked):
             df.unpersist()
         return nt
 
