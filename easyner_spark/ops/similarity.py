@@ -51,13 +51,19 @@ def brute_force_knn(
 
 
 def ivf_build(
-    vectors: DataFrame, nlist: int = 16
+    vectors: DataFrame,
+    nlist: int = 16,
+    order_key=None,
+    sim_round: int | None = None,
 ) -> tuple[DataFrame, DataFrame]:
     """→ (centroids(list_id, centroid), assignments(vec_id, list_id)).
 
     Deterministic quantizer: the ``nlist`` vectors with the smallest
-    xxhash64(vec_id) become centroids (a seeded uniform sample);
-    each vector joins its max-cosine centroid (broadcast argmax).
+    ``order_key`` (default xxhash64(vec_id)) become centroids (a seeded
+    uniform sample); each vector joins its max-cosine centroid
+    (broadcast argmax). ``sim_round`` rounds similarities before the
+    argmax — used by the driver contract so Spark and the SQL oracle
+    compare identical values (cross-engine float determinism).
 
     Plan note: ``orderBy().limit(nlist)`` compiles to
     TakeOrderedAndProject — a distributed per-partition top-k folded on
@@ -65,23 +71,27 @@ def ivf_build(
     (the prior ``row_number() over (ORDER BY ...)`` formulation was a
     single-task global sort: the job bottleneck at 10^9 vectors). The
     residual row_number window runs over the nlist-row result only."""
+    key = order_key if order_key is not None else F.xxhash64(F.col("vec_id"))
     sample = (
-        vectors.select("vec_id", "embedding", F.xxhash64(F.col("vec_id")).alias("_h"))
-        .orderBy("_h")
+        vectors.select("vec_id", "embedding", key.alias("_h"))
+        .orderBy("_h", "vec_id")
         .limit(nlist)
     )
     centroids = (
-        sample.withColumn("_r", F.row_number().over(Window.orderBy("_h")))
+        sample.withColumn("_r", F.row_number().over(Window.orderBy("_h", "vec_id")))
         .select(
             (F.col("_r") - 1).cast("int").alias("list_id"),
             F.col("embedding").alias("centroid"),
         )
     )
     v = vectors.select("vec_id", F.col("embedding").alias("ve"))
+    sim = _cosine("ve", "centroid")
+    if sim_round is not None:
+        sim = F.round(sim, sim_round)
     scored = v.join(F.broadcast(centroids)).select(
         "vec_id",
         "list_id",
-        _cosine("ve", "centroid").alias("sim"),
+        sim.alias("sim"),
     )
     aw = Window.partitionBy("vec_id").orderBy(F.desc("sim"), "list_id")
     assignments = (
@@ -99,6 +109,7 @@ def ivf_search(
     queries: DataFrame,
     k: int = 10,
     nprobe: int = 4,
+    sim_round: int | None = None,
 ) -> DataFrame:
     """Probe the ``nprobe`` nearest inverted lists per query, exact
     cosine re-rank inside them. Candidate fan-in ≈ nprobe/nlist of the
@@ -108,8 +119,11 @@ def ivf_search(
         F.col(queries.columns[0]).alias("qid"),
         F.col(queries.columns[1]).alias("qe"),
     )
+    psim = _cosine("qe", "centroid")
+    if sim_round is not None:
+        psim = F.round(psim, sim_round)
     qprobe = F.broadcast(q).join(F.broadcast(centroids)).select(
-        "qid", "qe", "list_id", _cosine("qe", "centroid").alias("sim")
+        "qid", "qe", "list_id", psim.alias("sim")
     )
     pw = Window.partitionBy("qid").orderBy(F.desc("sim"), "list_id")
     probes = (
@@ -120,8 +134,11 @@ def ivf_search(
     cands = probes.join(assignments, "list_id").filter(
         F.col("qid") != F.col("vec_id")
     )
+    csim = _cosine("qe", "ce")
+    if sim_round is not None:
+        csim = F.round(csim, sim_round)
     scored = cands.join(
         vectors.select("vec_id", F.col("embedding").alias("ce")), "vec_id"
-    ).select("qid", F.col("vec_id").alias("cid"), _cosine("qe", "ce").alias("cosine"))
+    ).select("qid", F.col("vec_id").alias("cid"), csim.alias("cosine"))
     w = Window.partitionBy("qid").orderBy(F.desc("cosine"), "cid")
     return scored.withColumn("rnk", F.row_number().over(w)).filter(F.col("rnk") <= k)

@@ -66,6 +66,8 @@ MINHASH_SEEDS = 8
 LSH_PLANES = 8
 KNN_QUERIES = 10
 KNN_K = 3
+IVF_NLIST = 8
+IVF_NPROBE = 2
 
 _GAZ_ITEMS = sorted(GAZ.items())
 _NEL_ITEMS = sorted((e, i, n) for e, (i, n) in NEL.items())
@@ -1147,6 +1149,96 @@ def q_embed_knn_bruteforce(spark, sf_dir):
     return (
         scored.withColumn("rnk", F.row_number().over(w).cast("bigint"))
         .filter(F.col("rnk") <= KNN_K)
+    )
+
+
+@register(
+    "embed_ivf_knn",
+    f"""
+WITH v AS (
+  SELECT vec_id, unnest(embedding) AS val, unnest(range(len(embedding))) AS pos
+  FROM embeddings
+),
+cent_ids AS (
+  SELECT vec_id AS cvid,
+         CAST(ROW_NUMBER() OVER (ORDER BY h, vec_id) - 1 AS INT) AS list_id
+  FROM (SELECT vec_id, md5(CAST(vec_id AS VARCHAR)) AS h
+        FROM embeddings ORDER BY h, vec_id LIMIT {IVF_NLIST}) t
+),
+cent AS (
+  SELECT c.list_id, v.pos, CAST(v.val AS DOUBLE) AS cval
+  FROM cent_ids c JOIN v ON v.vec_id = c.cvid
+),
+sims AS (
+  SELECT a.vec_id, c.list_id,
+         round(SUM(CAST(a.val AS DOUBLE) * c.cval) /
+               sqrt(SUM(CAST(a.val AS DOUBLE) * CAST(a.val AS DOUBLE)) * SUM(c.cval * c.cval)), 6) AS sim
+  FROM v a JOIN cent c ON a.pos = c.pos
+  GROUP BY a.vec_id, c.list_id
+),
+assign AS (
+  SELECT vec_id, list_id FROM (
+    SELECT vec_id, list_id,
+           ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY sim DESC, list_id) AS rn
+    FROM sims) t
+  WHERE rn = 1
+),
+probes AS (
+  SELECT qid, list_id FROM (
+    SELECT vec_id AS qid, list_id,
+           ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY sim DESC, list_id) AS rn
+    FROM sims WHERE vec_id < {KNN_QUERIES}) t
+  WHERE rn <= {IVF_NPROBE}
+),
+cands AS (
+  SELECT p.qid, a.vec_id AS cid
+  FROM probes p JOIN assign a ON a.list_id = p.list_id
+  WHERE a.vec_id <> p.qid
+),
+dots AS (
+  SELECT cd.qid, cd.cid,
+         SUM(CAST(qv.val AS DOUBLE) * CAST(cv.val AS DOUBLE)) AS dot,
+         SUM(CAST(qv.val AS DOUBLE) * CAST(qv.val AS DOUBLE)) AS qq,
+         SUM(CAST(cv.val AS DOUBLE) * CAST(cv.val AS DOUBLE)) AS cc
+  FROM cands cd
+  JOIN v qv ON qv.vec_id = cd.qid
+  JOIN v cv ON cv.vec_id = cd.cid AND cv.pos = qv.pos
+  GROUP BY cd.qid, cd.cid
+),
+ranked AS (
+  SELECT qid, cid, round(dot / sqrt(qq * cc), 6) AS cosine,
+         ROW_NUMBER() OVER (PARTITION BY qid
+                            ORDER BY round(dot / sqrt(qq * cc), 6) DESC, cid) AS rnk
+  FROM dots
+)
+SELECT CAST(qid AS BIGINT) AS qid, CAST(cid AS BIGINT) AS cid, cosine,
+       CAST(rnk AS BIGINT) AS rnk
+FROM ranked WHERE rnk <= {KNN_K}
+""",
+)
+def q_embed_ivf_knn(spark, sf_dir):
+    """IVF ANN end-to-end through the REAL ops.similarity functions:
+    deterministic centroid sample (TakeOrderedAndProject) → broadcast
+    argmax assignment → probe the nprobe nearest inverted lists →
+    exact re-rank inside them — the full index structure value-checked
+    against an independent SQL formulation. Contract determinism: the
+    centroid order key is md5 (xxhash64 is not in DuckDB) and
+    similarities are rounded to 6 before every argmax/rank on both
+    engines (same recipe as embed_knn_bruteforce)."""
+    from .ops.similarity import ivf_build, ivf_search
+
+    e = _read(spark, sf_dir, "embeddings")
+    okey = F.md5(F.col("vec_id").cast("string").cast("binary"))
+    cents, assigns = ivf_build(e, nlist=IVF_NLIST, order_key=okey, sim_round=6)
+    q = e.filter(F.col("vec_id") < KNN_QUERIES).select("vec_id", "embedding")
+    out = ivf_search(
+        e, cents, assigns, q, k=KNN_K, nprobe=IVF_NPROBE, sim_round=6
+    )
+    return out.select(
+        F.col("qid").cast("bigint").alias("qid"),
+        F.col("cid").cast("bigint").alias("cid"),
+        "cosine",
+        F.col("rnk").cast("bigint").alias("rnk"),
     )
 
 
