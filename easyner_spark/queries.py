@@ -2290,6 +2290,121 @@ def q_eval_band_pr(spark, sf_dir):
 
 
 @register(
+    "kg_graph_nodes",
+    _LINKED_CTE
+    + """,
+triples AS (
+  SELECT a.ent_id AS subj_id, a.ent_name AS subj, b.ent_id AS obj_id, b.ent_name AS obj,
+         a.doc_id
+  FROM linked a JOIN linked b
+    ON a.doc_id = b.doc_id AND a.sent_idx = b.sent_idx AND a.pos < b.pos
+),
+outd AS (SELECT subj_id AS ent_id, CAST(count(*) AS BIGINT) AS out_degree,
+                CAST(count(DISTINCT obj_id) AS BIGINT) AS out_distinct
+         FROM triples GROUP BY subj_id),
+ind AS (SELECT obj_id AS ent_id, CAST(count(*) AS BIGINT) AS in_degree
+        FROM triples GROUP BY obj_id),
+names AS (SELECT ent_id, min(ent_name) AS name,
+                 CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs
+          FROM linked GROUP BY ent_id)
+SELECT n.ent_id, n.name, n.n_docs,
+       COALESCE(o.out_degree, 0) AS out_degree,
+       COALESCE(o.out_distinct, 0) AS out_distinct,
+       COALESCE(i.in_degree, 0) AS in_degree
+FROM names n LEFT JOIN outd o ON n.ent_id = o.ent_id
+             LEFT JOIN ind i ON n.ent_id = i.ent_id
+""",
+)
+def q_kg_graph_nodes(spark, sf_dir):
+    """Graph materialization, node side: the canonical-entity node
+    table a KG serves queries from — per entity its name, document
+    support, and in/out co-occurrence degrees. Two broadcast-joined
+    aggregates over the triples view; at scale each is a map-side-
+    partial hash agg keyed by ent_id (the same key the edge table
+    shuffles on, so a real deployment co-partitions them)."""
+    lk = linked(spark, sf_dir)
+    a, b = lk.alias("a"), lk.alias("b")
+    triples = a.join(
+        b,
+        (F.col("a.doc_id") == F.col("b.doc_id"))
+        & (F.col("a.sent_idx") == F.col("b.sent_idx"))
+        & (F.col("a.pos") < F.col("b.pos")),
+    ).select(
+        F.col("a.ent_id").alias("subj_id"),
+        F.col("b.ent_id").alias("obj_id"),
+    )
+    outd = triples.groupBy(F.col("subj_id").alias("ent_id")).agg(
+        F.count("*").alias("out_degree"),
+        F.countDistinct("obj_id").alias("out_distinct"),
+    )
+    ind = triples.groupBy(F.col("obj_id").alias("ent_id")).agg(
+        F.count("*").alias("in_degree")
+    )
+    names = lk.groupBy("ent_id").agg(
+        F.min("ent_name").alias("name"),
+        F.countDistinct("doc_id").alias("n_docs"),
+    )
+    return (
+        names.join(outd, "ent_id", "left")
+        .join(ind, "ent_id", "left")
+        .select(
+            "ent_id",
+            "name",
+            "n_docs",
+            F.coalesce("out_degree", F.lit(0)).cast("bigint").alias("out_degree"),
+            F.coalesce("out_distinct", F.lit(0)).cast("bigint").alias("out_distinct"),
+            F.coalesce("in_degree", F.lit(0)).cast("bigint").alias("in_degree"),
+        )
+    )
+
+
+@register(
+    "kg_graph_edges",
+    _LINKED_CTE
+    + """
+SELECT a.ent_id AS src, b.ent_id AS dst,
+       CAST(count(*) AS BIGINT) AS weight,
+       CAST(count(DISTINCT a.doc_id) AS BIGINT) AS n_docs,
+       round(CAST(count(*) AS DOUBLE) / count(DISTINCT a.doc_id), 6) AS per_doc
+FROM linked a JOIN linked b
+  ON a.doc_id = b.doc_id AND a.sent_idx = b.sent_idx AND a.pos < b.pos
+GROUP BY a.ent_id, b.ent_id
+""",
+)
+def q_kg_graph_edges(spark, sf_dir):
+    """Graph materialization, edge side: the weighted adjacency table
+    (src, dst, co-occurrence weight, document support). In production
+    this lands partitioned/bucketed by src so neighbor expansion is a
+    single-partition read; the aggregation is map-side partial."""
+    lk = linked(spark, sf_dir)
+    a, b = lk.alias("a"), lk.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.doc_id") == F.col("b.doc_id"))
+            & (F.col("a.sent_idx") == F.col("b.sent_idx"))
+            & (F.col("a.pos") < F.col("b.pos")),
+        )
+        .groupBy(
+            F.col("a.ent_id").alias("src"), F.col("b.ent_id").alias("dst")
+        )
+        .agg(
+            F.count("*").alias("weight"),
+            F.countDistinct("a.doc_id").alias("n_docs"),
+        )
+        .select(
+            "src",
+            "dst",
+            "weight",
+            "n_docs",
+            F.round(F.col("weight").cast("double") / F.col("n_docs"), 6).alias(
+                "per_doc"
+            ),
+        )
+    )
+
+
+@register(
     "merge_runs_union",
     _CTOKS_CTE
     + """,
