@@ -194,6 +194,19 @@ def main() -> None:
         "config 'ignore' map, inverted; e.g. --stages mentions,linked "
         "re-runs NER+NEL over checkpointed sentences)",
     )
+    ap.add_argument(
+        "--triples-cap",
+        type=int,
+        default=None,
+        help="opt-in per-sentence mention cap for entity-stuffed pages "
+        "(default None = exact pairing, matches the sequential oracle)",
+    )
+    ap.add_argument(
+        "--analysis-sets",
+        action="store_true",
+        help="emit the reference's articles_set column (bounded/test "
+        "corpora only — unbounded per-surface arrays at web scale)",
+    )
     args = ap.parse_args()
 
     from .session import get_spark
@@ -211,6 +224,8 @@ def main() -> None:
         n_batches=args.n_batches,
         canonicalize=not args.no_canonical,
         stages=set(args.stages.split(",")) if args.stages else None,
+        analysis_sets=args.analysis_sets,
+        triples_cap=args.triples_cap,
     )
     print(json.dumps(report, indent=2, default=str))
 
