@@ -75,8 +75,38 @@ class CheckpointCatalog:
         man = self._load_manifest(stage)
         out: set[int] = set()
         for snap in man["snapshots"]:
-            out.update(int(b) for b in snap["counters"])
+            for b, c in snap["counters"].items():
+                if c.get("retracted"):
+                    out.discard(int(b))
+                else:
+                    out.add(int(b))
         return out
+
+    def _retract_batches(
+        self, stage: str, batches: list[int], partition_col: str
+    ) -> None:
+        """Physically drop vanished partitions + tombstone them in a new
+        snapshot. Idempotent under crashes: dirs are removed before the
+        manifest swap, and a re-run re-derives the same vanished set
+        from the still-positive committed counters."""
+        import shutil
+
+        for b in batches:
+            shutil.rmtree(
+                os.path.join(self._stage_dir(stage), f"{partition_col}={b}"),
+                ignore_errors=True,
+            )
+        man = self._load_manifest(stage)
+        man["snapshots"].append(
+            {
+                "snapshot_id": len(man["snapshots"]),
+                "ts": time.time(),
+                "counters": {
+                    str(b): {"rows": 0, "retracted": True} for b in batches
+                },
+            }
+        )
+        self._store_manifest(stage, man)
 
     def write_stage(
         self,
@@ -112,25 +142,47 @@ class CheckpointCatalog:
         elif done:
             committed = self.counters(stage)
             incoming = {
-                int(r[partition_col]): (r["n"], r["h"])
+                int(r[partition_col]): (r["n"], r["h"], str(r["s"]))
                 for r in df.groupBy(partition_col)
                 .agg(
                     F.count("*").alias("n"),
                     F.expr("bit_xor(xxhash64(*))").alias("h"),
+                    F.expr("sum(cast(xxhash64(*) as decimal(38,0)))").alias("s"),
                 )
                 .collect()
             }
 
-            def _same(b: int, n: int, h) -> bool:
+            def _same(b: int, n: int, h, s: str) -> bool:
                 c = committed.get(b)
                 if c is None or c["rows"] != n:
                     return False
-                # hash compare (count-only fallback for pre-hash manifests)
-                return "content_hash" not in c or c["content_hash"] == h
+                # BOTH folds must match (xor alone cancels even
+                # multisets: {A,A}→{B,B} keeps count AND xor); missing
+                # keys = pre-hash manifests → count-only fallback
+                if "content_hash" in c and c["content_hash"] != h:
+                    return False
+                return "content_sum" not in c or c["content_sum"] == s
 
-            changed = sorted(b for b, (n, h) in incoming.items() if not _same(b, n, h))
+            changed = sorted(
+                b for b, (n, h, s) in incoming.items() if not _same(b, n, h, s)
+            )
+            # retract committed batches absent from a NON-EMPTY incoming
+            # frame (input shrank): delete their partition dirs and
+            # tombstone them, else read_stage serves deleted rows
+            # forever. A fully-empty incoming frame is treated as a
+            # caller bug (no-op), not a total wipe.
+            vanished = sorted(
+                b
+                for b, c in committed.items()
+                if incoming
+                and b not in incoming
+                and c.get("rows", 0) > 0
+                and not c.get("retracted")
+            )
+            if vanished:
+                self._retract_batches(stage, vanished, partition_col)
             if not changed:
-                return {}
+                return {"retracted": vanished} if vanished else {}
             pending = df.filter(F.col(partition_col).isin(changed))
 
         # counters BEFORE the write (same plan feeds both via cache).

@@ -94,7 +94,7 @@ def run_pipeline(
             )
         return cat.read_stage(spark, name)
 
-    docs = sents = mentions = linked = triples = None
+    docs = sents = mentions = linked = None
     if "documents" in want:
         docs = commit("documents", extract_documents(pages, n_batches=n_batches))
         report["documents"]["audit"] = [
@@ -145,7 +145,7 @@ def run_pipeline(
 
     if "triples" in want:
         sents = sents if sents is not None else need("sentences", "triples")
-        triples = commit(
+        commit(
             "triples",
             cooccurrence_triples(linked, sents, max_mentions_per_sentence=triples_cap),
         )
@@ -166,10 +166,9 @@ def run_pipeline(
         cat.write_stage(idf.drop("batch_count"), "id_frequency")
         report["analysis"] = {"done": True}
 
-    if triples is not None:
-        triples_total = triples.count()
-    elif cat.committed_batches("triples"):
-        # cheap manifest-side total for subset runs that skipped triples
+    # manifest-side total: the commit already counted every partition,
+    # so a read-back count job would only re-scan the same parquet
+    if cat.committed_batches("triples"):
         triples_total = sum(c["rows"] for c in cat.counters("triples").values())
     else:
         triples_total = None

@@ -66,18 +66,15 @@ def start_ingest(
 
     def sink(batch_df: DataFrame, epoch_id: int) -> None:
         # the stream dedups on (url, warc_ts) — a re-crawled url with a
-        # NEW timestamp still reaches the sink twice. Within the
-        # micro-batch keep only the latest crawl per url, otherwise one
-        # epoch stage would hold duplicate doc_id = sha2(url) rows (the
-        # exact corruption extract.py's docstring warns about).
-        w = Window.partitionBy("url").orderBy(F.desc("warc_ts"))
-        latest = (
-            batch_df.withColumn("_rn", F.row_number().over(w))
-            .filter(F.col("_rn") == 1)
-            .drop("_rn")
-        )
+        # NEW timestamp still reaches the sink twice, which would put
+        # duplicate doc_id = sha2(url) rows in one epoch stage (the
+        # exact corruption extract.py's docstring warns about). Reuse
+        # the BATCH path's dedup (dedup_urls=True): it filters lang
+        # first (a late non-matching-lang crawl can't shadow a matching
+        # one) and picks the winner by a TOTAL key, so epoch replays
+        # commit identical bytes.
         docs = extract_documents(
-            latest, n_batches=n_batches, lang_filter=lang_filter, dedup_urls=False
+            batch_df, n_batches=n_batches, lang_filter=lang_filter, dedup_urls=True
         )
         # append-style commit: allow new rows for already-seen batches by
         # keying the stage per epoch (each epoch is an atomic snapshot)
@@ -106,17 +103,22 @@ def read_documents_epochs(spark: SparkSession, warehouse: str) -> DataFrame:
     import re as _re
 
     cat = CheckpointCatalog(warehouse)
+    # \d{6,}: epoch ids grow past the 06d zero-padding at 1e6 epochs —
+    # a fixed-width match would truncate them onto other epochs' names
     names = sorted(
         {
             m.group(0)
             for f in os.listdir(warehouse)
-            if (m := _re.match(r"documents_epoch\d{6}", f))
+            if (m := _re.match(r"documents_epoch(\d{6,})$", f))
+            or (m := _re.match(r"documents_epoch(\d{6,})(?=\._manifest\.json$)", f))
         }
     )
     if not names:
         raise ValueError(f"no documents_epoch* stages committed in {warehouse}")
     parts = [
-        cat.read_stage(spark, n).withColumn("_epoch", F.lit(int(n[-6:])))
+        cat.read_stage(spark, n).withColumn(
+            "_epoch", F.lit(int(n[len("documents_epoch"):]))
+        )
         for n in names
     ]
     allrows = parts[0]

@@ -48,6 +48,17 @@ def test_nel_mint_rank_is_bucket_partitioned(spark):
     got = {r["surface"]: r["rnk"] for r in ranked.collect()}
     assert got == {"a": 1, "ab": 2, "az": 3, "ba": 4, "bb": 5, "zz": 6}
 
+    # tricky keys: empty, control chars, shared prefixes, multi-byte
+    # unicode — UTF-8 byte order equals codepoint order, so the bucketed
+    # rank must equal Python's sorted() position exactly
+    vals = ["", "\t", "0", "00", "Z", "ZZ", "a", "aa", "zz", "é", "日", "日本"]
+    df2 = spark.createDataFrame([(s,) for s in vals], "surface string")
+    got2 = {
+        r["surface"]: r["rnk"]
+        for r in _dense_rank_by(df2, "surface", "rnk").collect()
+    }
+    assert got2 == {s: i + 1 for i, s in enumerate(sorted(vals))}
+
 
 def test_gazetteer_join_is_broadcast_and_scan_is_pruned(spark):
     from easyner_spark.queries import mentions

@@ -157,3 +157,35 @@ def test_catalog_resume_detects_content_change(spark, tmp_path):
 
     # unchanged re-run is still a no-op
     assert cat.write_stage(v2, "docs") == {}
+
+
+def test_catalog_resume_detects_xor_cancelling_change(spark, tmp_path):
+    """{A, A} → {B, B} keeps both the row count and the bit_xor fold
+    (pairs cancel to 0); only the decimal content_sum catches it."""
+    from easyner_spark.io.catalog import CheckpointCatalog
+
+    cat = CheckpointCatalog(str(tmp_path / "wh"))
+    v1 = spark.createDataFrame([("a", 0), ("a", 0)], "doc_id string, batch_id int")
+    cat.write_stage(v1, "docs")
+    v2 = spark.createDataFrame([("b", 0), ("b", 0)], "doc_id string, batch_id int")
+    snap = cat.write_stage(v2, "docs")
+    assert list(snap["counters"]) == ["0"]
+    assert {r["doc_id"] for r in cat.read_stage(spark, "docs").collect()} == {"b"}
+
+
+def test_catalog_retracts_vanished_batches(spark, tmp_path):
+    from easyner_spark.io.catalog import CheckpointCatalog
+
+    cat = CheckpointCatalog(str(tmp_path / "wh"))
+    v1 = spark.createDataFrame(
+        [("a", 0), ("b", 1)], "doc_id string, batch_id int"
+    )
+    cat.write_stage(v1, "docs")
+    # input shrank: batch 0 disappeared entirely
+    v2 = spark.createDataFrame([("b", 1)], "doc_id string, batch_id int")
+    snap = cat.write_stage(v2, "docs")
+    assert snap == {"retracted": [0]}
+    assert cat.committed_batches("docs") == {1}
+    assert {r["doc_id"] for r in cat.read_stage(spark, "docs").collect()} == {"b"}
+    # idempotent: same shrunk input again is a no-op
+    assert cat.write_stage(v2, "docs") == {}
