@@ -2290,6 +2290,96 @@ def q_eval_band_pr(spark, sf_dir):
 
 
 @register(
+    "events_props_json",
+    """
+SELECT event_type,
+       CAST(count(*) AS BIGINT) AS n,
+       CAST(SUM(CAST(json_extract_string(props, '$.k') AS INT)) AS BIGINT) AS k_sum,
+       CAST(MIN(CAST(json_extract_string(props, '$.k') AS INT)) AS INT) AS k_min,
+       CAST(MAX(CAST(json_extract_string(props, '$.k') AS INT)) AS INT) AS k_max
+FROM events
+GROUP BY event_type
+""",
+)
+def q_events_props_json(spark, sf_dir):
+    """Semi-structured JSON extraction (the web-log staple): pull a
+    typed field out of a JSON string column and aggregate it.
+    get_json_object evaluates JVM-side inside codegen — no UDF, and at
+    scale the JSON parse cost is the scan's, not a Python worker's."""
+    e = _read(spark, sf_dir, "events")
+    k = F.get_json_object("props", "$.k").cast("int")
+    return e.groupBy("event_type").agg(
+        F.count("*").alias("n"),
+        F.sum(k).cast("bigint").alias("k_sum"),
+        F.min(k).cast("int").alias("k_min"),
+        F.max(k).cast("int").alias("k_max"),
+    )
+
+
+@register(
+    "corpus_source_stats",
+    """
+SELECT source, lang,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(SUM(n_chars) AS BIGINT) AS total_chars,
+       CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS total_tokens,
+       round(CAST(SUM(n_chars) AS DOUBLE) / count(*), 6) AS avg_chars
+FROM documents
+GROUP BY source, lang
+""",
+)
+def q_corpus_source_stats(spark, sf_dir):
+    """Corpus composition report — the first table any curation run
+    produces: per (source, lang) document/char/token totals. One
+    map-side-partial aggregation; the (source, lang) key space is tiny,
+    so the shuffle is bounded by cardinality, not corpus size."""
+    d = _read(spark, sf_dir, "documents")
+    return d.groupBy("source", "lang").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("n_chars").cast("bigint").alias("total_chars"),
+        F.sum(F.size(F.split("text", " "))).cast("bigint").alias("total_tokens"),
+        F.round(F.sum("n_chars") / F.count("*"), 6).alias("avg_chars"),
+    )
+
+
+@register(
+    "embed_label_centroids",
+    """
+WITH v AS (
+  SELECT label, vec_id, unnest(embedding) AS val, unnest(range(len(embedding))) AS pos
+  FROM embeddings
+),
+dims AS (
+  SELECT label, pos, round(AVG(CAST(val AS DOUBLE)), 6) AS a
+  FROM v GROUP BY label, pos
+),
+counts AS (SELECT label, CAST(count(*) AS BIGINT) AS n FROM embeddings GROUP BY label)
+SELECT d.label, c.n, list(d.a ORDER BY d.pos) AS centroid
+FROM dims d JOIN counts c ON c.label = d.label
+GROUP BY d.label, c.n
+""",
+)
+def q_embed_label_centroids(spark, sf_dir):
+    """Per-label mean embedding (the nearest-class-centroid classifier
+    building block): explode to (label, pos, val), average per
+    dimension (map-side partials; the shuffle is |labels|·dim rows),
+    reassemble the centroid array in dimension order. Cross-engine
+    float rule: round(avg, 6) on both sides."""
+    e = _read(spark, sf_dir, "embeddings")
+    v = e.select("label", F.posexplode("embedding").alias("pos", "val"))
+    dims = v.groupBy("label", "pos").agg(
+        F.round(F.avg(F.col("val").cast("double")), 6).alias("a")
+    )
+    counts = e.groupBy("label").agg(F.count("*").alias("n"))
+    cent = dims.groupBy("label").agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("pos", "a"))), lambda s: s["a"]
+        ).alias("centroid")
+    )
+    return counts.join(cent, "label").select("label", "n", "centroid")
+
+
+@register(
     "kg_graph_nodes",
     _LINKED_CTE
     + """,
