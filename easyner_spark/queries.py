@@ -2290,6 +2290,33 @@ def q_eval_band_pr(spark, sf_dir):
 
 
 @register(
+    "doc_repetition",
+    _SHINGLES_CTE
+    + """
+SELECT doc_id,
+       CAST(count(*) AS BIGINT) AS n_shingles,
+       CAST(count(DISTINCT shingle) AS BIGINT) AS n_distinct,
+       round(1.0 - CAST(count(DISTINCT shingle) AS DOUBLE) / count(*), 6) AS rep_ratio
+FROM shingles GROUP BY doc_id
+""",
+)
+def q_doc_repetition(spark, sf_dir):
+    """Intra-document repetition ratio (duplicate-trigram fraction) —
+    the Gopher-style quality filter that catches boilerplate/spam pages
+    where near-identical phrases loop. One per-doc aggregation over the
+    shingle view; pairs with doc_quality_scores and the stratified
+    sampler as the third curation signal."""
+    sh = shingles(spark, sf_dir)
+    return sh.groupBy("doc_id").agg(
+        F.count("*").alias("n_shingles"),
+        F.countDistinct("shingle").alias("n_distinct"),
+        F.round(
+            1.0 - F.countDistinct("shingle").cast("double") / F.count("*"), 6
+        ).alias("rep_ratio"),
+    )
+
+
+@register(
     "events_props_json",
     """
 SELECT event_type,
