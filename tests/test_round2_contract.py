@@ -159,6 +159,34 @@ def test_catalog_resume_detects_content_change(spark, tmp_path):
     assert cat.write_stage(v2, "docs") == {}
 
 
+def test_pipeline_staged_subset_runs(spark, tmp_path):
+    """--stages subsets: missing prerequisites raise a clear ValueError
+    (not a parquet AnalysisException); a staged sequence over one
+    warehouse completes and the totals come from the manifest."""
+    from easyner_spark.corpus import pages_df
+    from easyner_spark.pipeline import run_pipeline
+
+    wh = str(tmp_path / "wh")
+    pages = pages_df(spark, n_docs=120)
+
+    with pytest.raises(ValueError, match="needs 'documents'"):
+        run_pipeline(spark, pages, wh, stages={"sentences"})
+
+    r1 = run_pipeline(spark, pages, wh, stages={"documents", "sentences"})
+    assert r1["_totals"]["triples"] is None
+    r2 = run_pipeline(
+        spark, pages, wh, stages={"mentions", "linked", "triples"}
+    )
+    assert r2["_totals"]["triples"] > 0
+    # full re-run over the same warehouse is a resume no-op
+    r3 = run_pipeline(spark, pages, wh)
+    assert r3["_totals"]["triples"] == r2["_totals"]["triples"]
+    assert all(
+        r3[s]["batches_committed"] == 0
+        for s in ("documents", "sentences", "mentions", "linked", "triples")
+    )
+
+
 def test_catalog_resume_detects_xor_cancelling_change(spark, tmp_path):
     """{A, A} → {B, B} keeps both the row count and the bit_xor fold
     (pairs cancel to 0); only the decimal content_sum catches it."""
