@@ -618,6 +618,52 @@ def q_tpch_revenue_by_nation(spark, sf_dir):
 
 
 @register(
+    "tpch_profit_by_nation_year",
+    """
+SELECT n.n_name AS nation,
+       CAST(EXTRACT(year FROM o.o_orderdate) AS INT) AS o_year,
+       CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,2))
+                * (1 - CAST(l.l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS profit,
+       CAST(count(*) AS BIGINT) AS n_lineitems
+FROM lineitem l
+JOIN part p ON l.l_partkey = p.p_partkey AND p.p_type = 'ECONOMY'
+JOIN supplier s ON l.l_suppkey = s.s_suppkey
+JOIN nation n ON s.s_nationkey = n.n_nationkey
+JOIN orders o ON l.l_orderkey = o.o_orderkey
+GROUP BY n.n_name, EXTRACT(year FROM o.o_orderdate)
+""",
+)
+def q_tpch_profit_by_nation_year(spark, sf_dir):
+    """TPC-H Q9-shaped five-way join (part filter → supplier nation →
+    order year): the multi-join planning surface. part/supplier/nation
+    are broadcast dims; the only big-big shuffle is lineitem⋈orders on
+    orderkey, and the part filter prunes lineitem BEFORE that shuffle
+    (Catalyst pushes the broadcast join below the exchange)."""
+    li = _read(spark, sf_dir, "lineitem")
+    p = _read(spark, sf_dir, "part").filter(F.col("p_type") == "ECONOMY")
+    s = _read(spark, sf_dir, "supplier")
+    n = _read(spark, sf_dir, "nation")
+    o = _read(spark, sf_dir, "orders")
+    d = lambda c_: F.col(c_).cast("decimal(18,2)")  # noqa: E731
+    return (
+        li.join(F.broadcast(p), li["l_partkey"] == p["p_partkey"])
+        .join(F.broadcast(s), li["l_suppkey"] == s["s_suppkey"])
+        .join(F.broadcast(n), s["s_nationkey"] == n["n_nationkey"])
+        .join(o, li["l_orderkey"] == o["o_orderkey"])
+        .groupBy(
+            F.col("n_name").alias("nation"),
+            F.year("o_orderdate").cast("int").alias("o_year"),
+        )
+        .agg(
+            F.sum(d("l_extendedprice") * (F.lit(1) - d("l_discount")))
+            .cast("double")
+            .alias("profit"),
+            F.count("*").alias("n_lineitems"),
+        )
+    )
+
+
+@register(
     "tpch_semi_join_customers",
     """
 SELECT c.c_custkey, c.c_name
