@@ -104,6 +104,10 @@ def run_bench(sf_dir: str, cpus: str, n_corpus_docs: int | None = None) -> dict:
         "tpch_topk_orders_per_segment",
         "events_sessionize",
         "events_latest_per_user",
+        # round-2 additions (additive — the r1 set above is unchanged
+        # for round-over-round comparison)
+        "kg_graph_pagerank",
+        "web_boilerplate_ratio",
     ]
     for name in headline:
         # min of two runs: this VM shows sporadic multi-second scheduler

@@ -1,0 +1,165 @@
+"""Distributed graph analytics over the materialized entity graph.
+
+The north-star pipeline materializes a weighted co-occurrence graph
+(`kg_graph_nodes` / `kg_graph_edges`); these operators are the query
+workloads a KG actually serves from that graph: centrality (PageRank),
+local clustering (triangle participation), and neighborhood expansion
+(two-hop reach). The reference repo stops at frequency ranking
+(scripts/analysis.py:61-104 ranks entities by mention count); these are
+the graph-native generalizations of that ranking.
+
+Scale notes (all three):
+* every join is keyed on a node id — at production scale the edge table
+  is written bucketed by ``src`` so each PageRank iteration and the
+  triangle expansion shuffle only the (much smaller) rank/label side;
+* iterative loops ``localCheckpoint`` per round so the lineage never
+  grows (same discipline as stages/canonical.py:147 pointer-jumping CC);
+* no step ever materializes a neighborhood list in one buffer — degree
+  caps belong upstream (stages/triples.py applies them before pairing).
+
+Cross-engine determinism: PageRank runs in *scaled integer arithmetic*
+(rank is a BIGINT in units of 1/SCALE) — integer division and integer
+sums are exact and order-invariant, so Spark and DuckDB agree bit-for-
+bit at any partition layout, which a float PageRank cannot guarantee.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+PR_SCALE = 10**12  # rank unit = 1e-12; BIGINT headroom: 85 * n * SCALE << 2^63
+PR_DAMP_NUM = 85  # damping 0.85 as an exact rational (85/100)
+PR_DAMP_DEN = 100
+
+
+def pagerank(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    iterations: int = 5,
+    scale: int = PR_SCALE,
+) -> DataFrame:
+    """Fixed-iteration PageRank → (node, rank_scaled BIGINT).
+
+    rank_scaled is the PageRank value times ``scale``, computed with
+    integer division only: per edge the contribution is
+    ``rank div out_degree``; per node the update is
+    ``(15 * scale) div 100 + (85 * sum(contrib)) div 100``.
+    Dangling-node mass is dropped (no redistribution) — documented
+    semantics, identical in the SQL oracle. Self-loops should be
+    removed by the caller.
+
+    Plan shape: the (src, dst, out_degree) table is materialized once
+    (localCheckpoint) and reused every round; each iteration is one
+    hash-join edges⋈ranks on src plus one map-side-partial sum keyed by
+    dst. With the edge table bucketed by src, only the rank table (one
+    row per node) crosses the wire per round.
+    """
+    e = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst")).distinct()
+    outdeg = e.groupBy("src").agg(F.count("*").alias("outdeg"))
+    eo = e.join(outdeg, "src").localCheckpoint()
+    nodes = (
+        e.select(F.col("src").alias("node"))
+        .union(e.select(F.col("dst").alias("node")))
+        .distinct()
+        .localCheckpoint()
+    )
+    base = PR_DAMP_DEN - PR_DAMP_NUM  # 15
+    ranks = nodes.withColumn("rank", F.lit(scale).cast("bigint"))
+    for _ in range(iterations):
+        in_sum = (
+            eo.join(ranks, eo["src"] == ranks["node"])
+            .select(F.col("dst").alias("node"), F.expr("rank div outdeg").alias("c"))
+            .groupBy("node")
+            .agg(F.sum("c").alias("s"))
+        )
+        ranks = (
+            nodes.join(in_sum, "node", "left")
+            .select(
+                "node",
+                F.expr(
+                    f"CAST({base * scale} div {PR_DAMP_DEN}"
+                    f" + ({PR_DAMP_NUM} * coalesce(s, 0L)) div {PR_DAMP_DEN}"
+                    " AS BIGINT)"
+                ).alias("rank"),
+            )
+            .localCheckpoint()
+        )
+    return ranks.select("node", F.col("rank").alias("rank_scaled"))
+
+
+def triangles(edges: DataFrame, src: str = "src", dst: str = "dst") -> DataFrame:
+    """Per-node triangle participation → (node, n_triangles BIGINT).
+
+    Edges are canonicalized to undirected (a < b, distinct); each
+    triangle a<b<c is enumerated exactly once by the two-join wedge
+    closure e(a,b)⋈e(b,c)⋈e(a,c), then exploded to its three corners.
+    Nodes in no triangle are absent (join-reachable, not NULL-padded).
+
+    Scale: this is the standard distributed triangle enumeration — the
+    a<b<c orientation makes every wedge originate at its lowest-id
+    corner, which bounds the join fan-out by the *oriented* degree
+    (max out-degree under the ordering ≈ sqrt(m) after degree
+    orientation), the same trick GraphX/GraphFrames use.
+    """
+    u = (
+        edges.select(
+            F.least(F.col(src), F.col(dst)).alias("a"),
+            F.greatest(F.col(src), F.col(dst)).alias("b"),
+        )
+        .filter(F.col("a") != F.col("b"))
+        .distinct()
+    )
+    e1, e2, e3 = u.alias("e1"), u.alias("e2"), u.alias("e3")
+    tri = (
+        e1.join(e2, F.col("e1.b") == F.col("e2.a"))
+        .join(
+            e3,
+            (F.col("e3.a") == F.col("e1.a")) & (F.col("e3.b") == F.col("e2.b")),
+        )
+        .select(
+            F.col("e1.a").alias("x"),
+            F.col("e1.b").alias("y"),
+            F.col("e2.b").alias("z"),
+        )
+    )
+    return (
+        tri.select(F.explode(F.array("x", "y", "z")).alias("node"))
+        .groupBy("node")
+        .agg(F.count("*").cast("bigint").alias("n_triangles"))
+    )
+
+
+def two_hop_reach(edges: DataFrame, src: str = "src", dst: str = "dst") -> DataFrame:
+    """Distinct two-hop reach → (node, n_two_hop BIGINT).
+
+    Counts nodes exactly two undirected hops away: reachable via a
+    middle node, not the node itself, and not already a direct
+    neighbor (left_anti against the adjacency). The
+    friends-of-friends primitive behind KG link prediction and
+    related-entity panels.
+
+    Scale: adjacency⋈adjacency on the middle node is the one big
+    shuffle; the anti-join reuses the adjacency partitioning. Skewed
+    hubs bound the fan-out at degree² — production applies the same
+    degree cap as stages/triples.py before expansion.
+    """
+    adj = (
+        edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
+        .union(edges.select(F.col(dst).alias("u"), F.col(src).alias("v")))
+        .filter(F.col("u") != F.col("v"))
+        .distinct()
+    )
+    l, r = adj.alias("l"), adj.alias("r")
+    paths = (
+        l.join(r, F.col("l.v") == F.col("r.u"))
+        .filter(F.col("l.u") != F.col("r.v"))
+        .select(F.col("l.u").alias("u"), F.col("r.v").alias("w"))
+        .distinct()
+    )
+    two = paths.join(
+        adj.select(F.col("u"), F.col("v").alias("w")), ["u", "w"], "left_anti"
+    )
+    return two.groupBy(F.col("u").alias("node")).agg(
+        F.count("*").cast("bigint").alias("n_two_hop")
+    )

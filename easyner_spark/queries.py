@@ -2567,6 +2567,144 @@ def q_kg_graph_edges(spark, sf_dir):
     )
 
 
+# --- graph-analytics family: queries a KG serves FROM the materialized
+# graph (centrality / clustering / expansion). Shared edge view: the
+# distinct directed co-occurrence pairs, self-loops removed.
+
+_DEDGES_CTE = (
+    _LINKED_CTE
+    + """,
+dedges AS (
+  SELECT DISTINCT a.ent_id AS src, b.ent_id AS dst
+  FROM linked a JOIN linked b
+    ON a.doc_id = b.doc_id AND a.sent_idx = b.sent_idx AND a.pos < b.pos
+  WHERE a.ent_id <> b.ent_id
+),
+uedges AS (
+  SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b FROM dedges
+)
+"""
+)
+
+
+def dedges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    lk = linked(spark, sf_dir)
+    a, b = lk.alias("a"), lk.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.doc_id") == F.col("b.doc_id"))
+            & (F.col("a.sent_idx") == F.col("b.sent_idx"))
+            & (F.col("a.pos") < F.col("b.pos")),
+        )
+        .select(F.col("a.ent_id").alias("src"), F.col("b.ent_id").alias("dst"))
+        .filter(F.col("src") != F.col("dst"))
+        .distinct()
+    )
+
+
+def _pagerank_oracle(iters: int) -> str:
+    """Unrolled fixed-point PageRank in ANSI SQL (DuckDB lacks aggregates
+    in recursive CTE terms, so the fixed iteration count is unrolled —
+    exactly the loop ops/graph.py:pagerank runs)."""
+    from .ops.graph import PR_DAMP_DEN, PR_DAMP_NUM, PR_SCALE
+
+    base = (PR_DAMP_DEN - PR_DAMP_NUM) * PR_SCALE // PR_DAMP_DEN
+    ctes = [f"r0 AS (SELECT node, CAST({PR_SCALE} AS BIGINT) AS rank FROM nodes)"]
+    for i in range(1, iters + 1):
+        ctes.append(
+            f"""r{i} AS (
+  SELECT n.node,
+         CAST({base} + ({PR_DAMP_NUM} * COALESCE(s.c, 0)) // {PR_DAMP_DEN}
+              AS BIGINT) AS rank
+  FROM nodes n LEFT JOIN (
+    SELECT e.dst AS node, SUM(r.rank // d.outdeg) AS c
+    FROM dedges e JOIN r{i - 1} r ON e.src = r.node
+                  JOIN outdeg d ON e.src = d.node
+    GROUP BY e.dst) s ON n.node = s.node)"""
+        )
+    return (
+        _DEDGES_CTE
+        + """,
+nodes AS (SELECT src AS node FROM dedges UNION SELECT dst FROM dedges),
+outdeg AS (SELECT src AS node, CAST(count(*) AS BIGINT) AS outdeg
+           FROM dedges GROUP BY src),
+"""
+        + ",\n".join(ctes)
+        + f"\nSELECT node AS ent_id, rank AS rank_scaled FROM r{iters}"
+    )
+
+
+PAGERANK_ITERS = 5
+
+
+@register("kg_graph_pagerank", _pagerank_oracle(PAGERANK_ITERS))
+def q_kg_graph_pagerank(spark, sf_dir):
+    """Entity centrality via fixed-point integer PageRank (5 rounds,
+    damping 85/100, rank unit 1e-12) over the co-occurrence graph — the
+    graph-native generalization of the reference's entity-frequency
+    ranking (scripts/analysis.py:61-104). Exact BIGINT arithmetic makes
+    the result partition-layout- and engine-invariant; see
+    ops/graph.py:pagerank for the plan shape."""
+    from .ops.graph import pagerank
+
+    return pagerank(dedges(spark, sf_dir), iterations=PAGERANK_ITERS).select(
+        F.col("node").alias("ent_id"), "rank_scaled"
+    )
+
+
+@register(
+    "kg_graph_triangles",
+    _DEDGES_CTE
+    + """
+SELECT node AS ent_id, CAST(count(*) AS BIGINT) AS n_triangles
+FROM (
+  SELECT unnest([e1.a, e1.b, e2.b]) AS node
+  FROM uedges e1 JOIN uedges e2 ON e1.b = e2.a
+                 JOIN uedges e3 ON e3.a = e1.a AND e3.b = e2.b
+) corners
+GROUP BY node
+""",
+)
+def q_kg_graph_triangles(spark, sf_dir):
+    """Per-entity triangle participation (local clustering signal) via
+    the oriented wedge closure — each triangle a<b<c enumerated once
+    from its lowest corner, bounding join fan-out by oriented degree.
+    ops/graph.py:triangles."""
+    from .ops.graph import triangles
+
+    return triangles(dedges(spark, sf_dir)).select(
+        F.col("node").alias("ent_id"), "n_triangles"
+    )
+
+
+@register(
+    "kg_graph_two_hop",
+    _DEDGES_CTE
+    + """,
+adj AS (SELECT a AS u, b AS v FROM uedges UNION SELECT b, a FROM uedges),
+paths AS (
+  SELECT DISTINCT l.u AS u, r.v AS w
+  FROM adj l JOIN adj r ON l.v = r.u
+  WHERE l.u <> r.v
+)
+SELECT u AS ent_id, CAST(count(*) AS BIGINT) AS n_two_hop
+FROM paths p
+WHERE NOT EXISTS (SELECT 1 FROM adj a WHERE a.u = p.u AND a.v = p.w)
+GROUP BY u
+""",
+)
+def q_kg_graph_two_hop(spark, sf_dir):
+    """Distinct two-hop reach per entity (friends-of-friends expansion,
+    direct neighbors excluded via left_anti) — the related-entity /
+    link-prediction primitive. ops/graph.py:two_hop_reach."""
+    from .ops.graph import two_hop_reach
+
+    return two_hop_reach(dedges(spark, sf_dir)).select(
+        F.col("node").alias("ent_id"), "n_two_hop"
+    )
+
+
 @register(
     "merge_runs_union",
     _CTOKS_CTE
@@ -2811,4 +2949,306 @@ def q_dedup_exact_keep_best(spark, sf_dir):
         "text_hash",
         F.col("n_tokens").cast("bigint").alias("n_tokens"),
         "group_size",
+    )
+
+
+# --- web-corpus family: URL canonicalization, domain rollups, and
+# per-source boilerplate n-grams (Common-Crawl-style cleaning — the
+# north-star input is keyed by url; the reference never faces this).
+# Messy URLs are synthesized deterministically from (doc_id, source) so
+# both engines build the identical input: mixed-case scheme/host, www
+# prefix, default port, trailing slash, utm_* params, fragment.
+
+_URLS_SQL = """
+urls AS (
+  SELECT doc_id, source, n_chars,
+    (CASE WHEN doc_id % 5 = 0 THEN 'HTTPS' ELSE 'https' END) || '://' ||
+    (CASE WHEN doc_id % 2 = 1 THEN 'www.' ELSE '' END) ||
+    (CASE WHEN doc_id % 7 = 0 THEN upper(source) ELSE source END) ||
+    '-site.org' ||
+    (CASE WHEN doc_id % 11 = 0 THEN ':443' ELSE '' END) ||
+    '/page/' || CAST(doc_id AS VARCHAR) ||
+    (CASE WHEN doc_id % 3 = 0 THEN '/' ELSE '' END) ||
+    (CASE WHEN doc_id % 4 = 0
+          THEN '?utm_source=feed&ref=' || CAST(doc_id % 9 AS VARCHAR)
+          WHEN doc_id % 4 = 1
+          THEN '?ref=' || CAST(doc_id % 9 AS VARCHAR) || '&utm_campaign=x'
+          ELSE '' END) ||
+    (CASE WHEN doc_id % 2 = 0 THEN '#sec' ELSE '' END) AS url
+  FROM documents
+)
+"""
+
+_SH_RE = "^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*"
+
+# the same rule chain as ops/web.py:canonical_url, DuckDB spelling
+# ('g' flag = Spark's global-by-default; no replacement backrefs)
+_CANON_SQL = f"""
+c1 AS (SELECT doc_id, source, n_chars, url,
+              regexp_replace(url, '#.*$', '', 'g') AS u FROM urls),
+c2 AS (SELECT doc_id, source, n_chars, url,
+              regexp_replace(u, '&utm_[^&]*', '', 'g') AS u FROM c1),
+c3 AS (SELECT doc_id, source, n_chars, url,
+              regexp_replace(u, '\\?utm_[^&]*&', '?', 'g') AS u FROM c2),
+c4 AS (SELECT doc_id, source, n_chars, url,
+              regexp_replace(u, '\\?utm_[^&]*$', '', 'g') AS u FROM c3),
+c5 AS (SELECT doc_id, source, n_chars, url,
+              regexp_replace(lower(regexp_extract(u, '{_SH_RE}', 0)),
+                             ':(80|443)$', '', 'g')
+              || regexp_replace(u, '{_SH_RE}', '', 'g') AS u FROM c4),
+c6 AS (SELECT doc_id, source, n_chars, url,
+              regexp_replace(regexp_replace(u, '/\\?', '?', 'g'),
+                             '/$', '', 'g') AS u FROM c5),
+canon AS (
+  SELECT doc_id, source, n_chars, url,
+         regexp_replace(u, '[?&]$', '', 'g') AS canon_url,
+         lower(regexp_extract(url,
+               '^[A-Za-z][A-Za-z0-9+.-]*://([^/?#:]+)', 1)) AS host
+  FROM c6
+)
+"""
+
+
+def urls_df(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic messy-URL synthesis (Spark twin of _URLS_SQL)."""
+    return _read(spark, sf_dir, "documents").select(
+        "doc_id",
+        "source",
+        "n_chars",
+        F.expr(
+            """
+            concat(
+              CASE WHEN doc_id % 5 = 0 THEN 'HTTPS' ELSE 'https' END, '://',
+              CASE WHEN doc_id % 2 = 1 THEN 'www.' ELSE '' END,
+              CASE WHEN doc_id % 7 = 0 THEN upper(source) ELSE source END,
+              '-site.org',
+              CASE WHEN doc_id % 11 = 0 THEN ':443' ELSE '' END,
+              '/page/', CAST(doc_id AS STRING),
+              CASE WHEN doc_id % 3 = 0 THEN '/' ELSE '' END,
+              CASE WHEN doc_id % 4 = 0
+                   THEN concat('?utm_source=feed&ref=',
+                               CAST(doc_id % 9 AS STRING))
+                   WHEN doc_id % 4 = 1
+                   THEN concat('?ref=', CAST(doc_id % 9 AS STRING),
+                               '&utm_campaign=x')
+                   ELSE '' END,
+              CASE WHEN doc_id % 2 = 0 THEN '#sec' ELSE '' END)
+            """
+        ).alias("url"),
+    )
+
+
+@register(
+    "web_url_canonical",
+    "WITH "
+    + _URLS_SQL
+    + ","
+    + _CANON_SQL
+    + """
+SELECT doc_id, url, canon_url, host,
+       regexp_extract(host, '[^.]+\\.[^.]+$', 0) AS domain
+FROM canon
+""",
+)
+def q_web_url_canonical(spark, sf_dir):
+    """URL canonicalization as a pure-JVM column chain (ops/web.py):
+    fragment/utm strip, scheme+host lowering, default-port and
+    trailing-slash removal, plus host and naive registered-domain
+    extraction — the key-normalization step every url-keyed dedup at
+    web scale runs first. Whole-stage-codegen regexps, no shuffle."""
+    from .ops.web import canonical_url, registered_domain, url_host
+
+    u = urls_df(spark, sf_dir)
+    return u.select(
+        "doc_id",
+        "url",
+        canonical_url(F.col("url")).alias("canon_url"),
+        url_host(F.col("url")).alias("host"),
+        registered_domain(url_host(F.col("url"))).alias("domain"),
+    )
+
+
+@register(
+    "web_domain_stats",
+    "WITH "
+    + _URLS_SQL
+    + ","
+    + _CANON_SQL
+    + """
+SELECT regexp_extract(host, '[^.]+\\.[^.]+$', 0) AS domain,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(count(DISTINCT host) AS BIGINT) AS n_hosts,
+       CAST(sum(n_chars) AS BIGINT) AS total_chars,
+       round(CAST(sum(n_chars) AS DOUBLE) / count(*), 6) AS avg_chars
+FROM canon
+GROUP BY 1
+""",
+)
+def q_web_domain_stats(spark, sf_dir):
+    """Per-registered-domain corpus rollup (docs, distinct hosts,
+    chars): the crawl-composition report run before sampling; www/
+    casing variants of one domain aggregate together only because the
+    canonicalizer normalized them. Map-side-partial hash agg keyed by
+    domain; at 100 TB domains are the classic skew key — AQE skew
+    handling applies, no single-partition op anywhere."""
+    from .ops.web import registered_domain, url_host
+
+    u = urls_df(spark, sf_dir).withColumn(
+        "domain", registered_domain(url_host(F.col("url")))
+    )
+    return u.groupBy("domain").agg(
+        F.count("*").cast("bigint").alias("n_docs"),
+        F.countDistinct(url_host(F.col("url"))).cast("bigint").alias("n_hosts"),
+        F.sum("n_chars").cast("bigint").alias("total_chars"),
+        F.round(
+            F.sum("n_chars").cast("double") / F.count("*"), 6
+        ).alias("avg_chars"),
+    )
+
+
+_SRC_SHINGLES_CTE = (
+    _SHINGLES_CTE
+    + """,
+src_shingles AS (
+  SELECT DISTINCT s.doc_id, d.source, s.shingle
+  FROM shingles s JOIN documents d ON s.doc_id = d.doc_id
+),
+boiler AS (
+  SELECT source, shingle, CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs
+  FROM src_shingles GROUP BY source, shingle
+  HAVING count(DISTINCT doc_id) >= 2
+)
+"""
+)
+
+
+def _src_shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _read(spark, sf_dir, "documents").select("doc_id", "source")
+    return (
+        shingles(spark, sf_dir)
+        .join(d, "doc_id")
+        .select("doc_id", "source", "shingle")
+        .distinct()
+    )
+
+
+@register(
+    "web_boilerplate_ngrams",
+    _SRC_SHINGLES_CTE + "SELECT source, shingle, n_docs FROM boiler",
+)
+def q_web_boilerplate_ngrams(spark, sf_dir):
+    """Per-source boilerplate trigrams: shingles shared by >= 2 distinct
+    documents of the same source — the distributed analog of CC-style
+    line-frequency boilerplate removal (nav bars, footers, cookie
+    banners repeat within a domain, not across). One hash agg keyed by
+    (source, shingle); the key space is bounded by the corpus, partials
+    combine map-side."""
+    sh = _src_shingles(spark, sf_dir)
+    return (
+        sh.groupBy("source", "shingle")
+        .agg(F.countDistinct("doc_id").cast("bigint").alias("n_docs"))
+        .filter(F.col("n_docs") >= 2)
+    )
+
+
+@register(
+    "web_boilerplate_ratio",
+    _SRC_SHINGLES_CTE
+    + """,
+per_doc AS (
+  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_shingles
+  FROM src_shingles GROUP BY doc_id
+),
+marked AS (
+  SELECT s.doc_id, CAST(count(*) AS BIGINT) AS n_boiler
+  FROM src_shingles s JOIN boiler b
+    ON s.source = b.source AND s.shingle = b.shingle
+  GROUP BY s.doc_id
+)
+SELECT p.doc_id, p.n_shingles,
+       COALESCE(m.n_boiler, 0) AS n_boiler,
+       round(CAST(COALESCE(m.n_boiler, 0) AS DOUBLE) / p.n_shingles, 6)
+         AS boiler_ratio
+FROM per_doc p LEFT JOIN marked m ON p.doc_id = m.doc_id
+""",
+)
+def q_web_boilerplate_ratio(spark, sf_dir):
+    """Per-document boilerplate fraction (distinct shingles flagged by
+    the per-source boilerplate table / total distinct shingles) — the
+    actual filter signal: docs above a ratio threshold are dropped or
+    re-extracted. Self-join of the shingle table with its own aggregate;
+    both sides shuffle on (source, shingle), ratio divides exact ints."""
+    sh = _src_shingles(spark, sf_dir)
+    boiler = (
+        sh.groupBy("source", "shingle")
+        .agg(F.countDistinct("doc_id").alias("nd"))
+        .filter(F.col("nd") >= 2)
+        .select("source", "shingle")
+    )
+    per_doc = sh.groupBy("doc_id").agg(
+        F.count("*").cast("bigint").alias("n_shingles")
+    )
+    marked = (
+        sh.join(boiler, ["source", "shingle"], "left_semi")
+        .groupBy("doc_id")
+        .agg(F.count("*").cast("bigint").alias("n_boiler"))
+    )
+    return per_doc.join(marked, "doc_id", "left").select(
+        "doc_id",
+        "n_shingles",
+        F.coalesce("n_boiler", F.lit(0)).cast("bigint").alias("n_boiler"),
+        F.round(
+            F.coalesce("n_boiler", F.lit(0)).cast("double") / F.col("n_shingles"),
+            6,
+        ).alias("boiler_ratio"),
+    )
+
+
+@register(
+    "tpch_small_quantity_revenue",
+    """
+WITH per_part AS (
+  SELECT l_partkey,
+         CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty,
+         CAST(count(*) AS BIGINT) AS cnt
+  FROM lineitem GROUP BY l_partkey
+)
+SELECT p.p_brand AS brand,
+       round(CAST(sum(CAST(l.l_extendedprice AS DECIMAL(18,2))) AS DOUBLE)
+             / 7.0, 6) AS avg_yearly,
+       CAST(count(*) AS BIGINT) AS n_small
+FROM lineitem l
+JOIN per_part pp ON l.l_partkey = pp.l_partkey
+JOIN part p ON l.l_partkey = p.p_partkey
+WHERE 5 * CAST(l.l_quantity AS BIGINT) * pp.cnt < pp.sum_qty
+GROUP BY p.p_brand
+""",
+)
+def q_tpch_small_quantity_revenue(spark, sf_dir):
+    """TPC-H Q17-shaped correlated scalar subquery (l_quantity below 20%
+    of the per-part average), decorrelated Spark-first: the per-part
+    average is a two-level hash agg joined back on partkey — never a
+    per-row subquery. The 0.2*avg comparison is rewritten to exact
+    integer arithmetic (5*qty*cnt < sum_qty) so no engine ever divides;
+    revenue goes through DECIMAL(18,2) per the determinism rules. At
+    scale both joins shuffle on l_partkey — one exchange feeds the agg
+    AND the join-back (Spark reuses the exchange); part is broadcast."""
+    li = _read(spark, sf_dir, "lineitem").select(
+        "l_partkey",
+        F.col("l_quantity").cast("bigint").alias("qty"),
+        F.col("l_extendedprice").cast("decimal(18,2)").alias("price"),
+    )
+    per_part = li.groupBy("l_partkey").agg(
+        F.sum("qty").alias("sum_qty"), F.count("*").alias("cnt")
+    )
+    p = _read(spark, sf_dir, "part").select("p_partkey", "p_brand")
+    return (
+        li.join(per_part, "l_partkey")
+        .filter(F.lit(5) * F.col("qty") * F.col("cnt") < F.col("sum_qty"))
+        .join(F.broadcast(p), F.col("l_partkey") == F.col("p_partkey"))
+        .groupBy(F.col("p_brand").alias("brand"))
+        .agg(
+            F.round(F.sum("price").cast("double") / 7.0, 6).alias("avg_yearly"),
+            F.count("*").cast("bigint").alias("n_small"),
+        )
     )

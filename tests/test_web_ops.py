@@ -1,0 +1,52 @@
+"""Edge cases for ops/web.py beyond the contract-query URL shapes."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from easyner_spark.ops.web import canonical_url, registered_domain, url_host
+
+CASES = [
+    # (raw, canonical)
+    ("https://a.org/x", "https://a.org/x"),
+    ("HTTPS://A.ORG/x", "https://a.org/x"),  # scheme+host lowered, path kept
+    ("https://a.org:443/x", "https://a.org/x"),
+    ("http://a.org:80/x", "http://a.org/x"),
+    ("https://a.org:8080/x", "https://a.org:8080/x"),  # non-default port kept
+    ("https://a.org/x/", "https://a.org/x"),
+    ("https://a.org/", "https://a.org"),
+    ("https://a.org/x#frag", "https://a.org/x"),
+    ("https://a.org/x?utm_source=f", "https://a.org/x"),
+    ("https://a.org/x?utm_a=1&utm_b=2", "https://a.org/x"),
+    ("https://a.org/x?utm_a=1&id=2", "https://a.org/x?id=2"),
+    ("https://a.org/x?id=2&utm_a=1", "https://a.org/x?id=2"),
+    ("https://a.org/x?id=2&utm_a=1&k=3", "https://a.org/x?id=2&k=3"),
+    ("https://a.org/x/?id=2", "https://a.org/x?id=2"),
+    ("https://a.org/x?utm_a=1#f", "https://a.org/x"),
+    ("https://a.org/X/Y?Id=2", "https://a.org/X/Y?Id=2"),  # path/query case kept
+]
+
+
+def test_canonical_url_cases(spark):
+    df = spark.createDataFrame([(r,) for r, _ in CASES], "url string")
+    got = [
+        r["c"]
+        for r in df.select(canonical_url(F.col("url")).alias("c")).collect()
+    ]
+    assert got == [c for _, c in CASES]
+
+
+@pytest.mark.parametrize(
+    "url,host,domain",
+    [
+        ("https://WWW.News.Example.org:443/a", "www.news.example.org", "example.org"),
+        ("http://single/a", "single", ""),  # no dot: no registered domain
+        ("https://a.b.c.d.org/x?q=1", "a.b.c.d.org", "d.org"),
+    ],
+)
+def test_host_and_domain(spark, url, host, domain):
+    df = spark.createDataFrame([(url,)], "url string")
+    row = df.select(
+        url_host(F.col("url")).alias("h"),
+        registered_domain(url_host(F.col("url"))).alias("d"),
+    ).collect()[0]
+    assert (row["h"], row["d"]) == (host, domain)
