@@ -109,6 +109,10 @@ def triangles(edges: DataFrame, src: str = "src", dst: str = "dst") -> DataFrame
         )
         .filter(F.col("a") != F.col("b"))
         .distinct()
+        # materialize once: the three-way self-join would otherwise
+        # replicate the whole upstream plan per alias (a production run
+        # reads the already-materialized edge table instead)
+        .localCheckpoint()
     )
     e1, e2, e3 = u.alias("e1"), u.alias("e2"), u.alias("e3")
     tri = (
@@ -149,6 +153,7 @@ def two_hop_reach(edges: DataFrame, src: str = "src", dst: str = "dst") -> DataF
         .union(edges.select(F.col(dst).alias("u"), F.col(src).alias("v")))
         .filter(F.col("u") != F.col("v"))
         .distinct()
+        .localCheckpoint()  # reused by both self-join sides + anti-join
     )
     l, r = adj.alias("l"), adj.alias("r")
     paths = (

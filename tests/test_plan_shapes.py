@@ -95,3 +95,38 @@ def test_semi_join_is_broadcast(spark):
 
     plan = _plan(QUERIES["tpch_semi_join_customers"](spark, SF_DIR))
     assert "BroadcastHashJoin" in plan and "LeftSemi" in plan
+
+
+def test_web_canonical_is_narrow_single_stage(spark):
+    """URL canonicalization must stay inside whole-stage codegen: no
+    exchange, no Python, nothing but a projected scan."""
+    from easyner_spark.queries import QUERIES
+
+    plan = _plan(QUERIES["web_url_canonical"](spark, SF_DIR))
+    assert "Exchange" not in plan
+    assert "EvalPython" not in plan
+    assert "codegen id" in plan  # projections fused into whole-stage codegen
+
+
+def test_q17_decorrelation_broadcasts_part_no_smj(spark):
+    """The per-part average joins back as hash joins (partkey agg
+    reuses the exchange); the part dimension must broadcast; no
+    sort-merge join anywhere."""
+    from easyner_spark.queries import QUERIES
+
+    plan = _plan(QUERIES["tpch_small_quantity_revenue"](spark, SF_DIR))
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_pagerank_has_no_single_partition_exchange(spark):
+    """Every PageRank iteration must stay hash-partitioned — a global
+    sort or single-partition exchange would be the 10^9-node
+    bottleneck."""
+    from easyner_spark.ops.graph import pagerank
+
+    e = spark.createDataFrame(
+        [("A", "B"), ("B", "C"), ("C", "A")], "src string, dst string"
+    )
+    ranks = pagerank(e, iterations=2)
+    assert "Exchange SinglePartition" not in _plan(ranks)
