@@ -42,8 +42,10 @@ def compare_query(spark, sf_dir: str, name: str, spark_fn, oracle_sql: str) -> s
     # numeric tolerance for float cols, exact otherwise
     for c in a.columns:
         if pd.api.types.is_float_dtype(a[c]) or pd.api.types.is_float_dtype(b[c]):
-            if not ((a[c].astype(float) - b[c].astype(float)).abs() < 1e-9).all():
-                bad = (a[c].astype(float) - b[c].astype(float)).abs().idxmax()
+            av, bv = a[c].astype(float), b[c].astype(float)
+            ok = ((av - bv).abs() < 1e-9) | (av.isna() & bv.isna())
+            if not ok.all():
+                bad = (~ok).idxmax()
                 return f"{name}: float col {c} differs, e.g. row {bad}: {a[c][bad]} vs {b[c][bad]}"
         else:
             if not (a[c].astype(str) == b[c].astype(str)).all():

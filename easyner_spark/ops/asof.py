@@ -1,0 +1,71 @@
+"""As-of (backward temporal) join — a first-class operator Spark lacks.
+
+For every left row, attach the latest right row whose timestamp is at
+or before the left timestamp, per key. The classic quote/trade join;
+in this engine it serves "state of entity X as of crawl time T"
+lookups over page snapshots and KG entity versions.
+
+Formulation: tag-and-union. Both sides union into one table (right
+rows flagged), ONE shuffle on the join keys, and a per-key running
+``last(payload, ignorenulls)`` window ordered by (ts, right-first)
+carries the newest right payload forward onto each left row. That is
+the distributed as-of used by kdb/Flink-style engines: no per-row
+probe, no range explosion — cost is one sort per key partition.
+
+Compare the naive theta join (left.ts >= right.ts then argmax): a
+per-key quadratic blow-up that is unusable at web scale.
+
+Determinism: rows at equal timestamps order right-before-left, so a
+left row at exactly t matches a right row at t (inclusive semantics,
+matching DuckDB's ``ASOF JOIN ... ON l.ts >= r.ts`` oracle). The right
+side should be unique per (keys, ts); pre-aggregate if it is not.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import DataFrame, Window as W, functions as F
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: str | Sequence[str],
+    left_ts: str = "ts",
+    right_ts: str = "ts",
+    suffix: str = "_r",
+) -> DataFrame:
+    """Backward as-of left join → all left columns + right payload
+    columns (everything but the keys) suffixed, NULL when no right row
+    precedes."""
+    keys = [on] if isinstance(on, str) else list(on)
+    payload = [c for c in right.columns if c not in keys]
+    r2 = right.select(
+        *keys,
+        F.col(right_ts).alias("__ts"),
+        F.lit(1).alias("__is_r"),
+        F.struct(*[F.col(c) for c in payload]).alias("__p"),
+    )
+    l2 = left.select(
+        *keys,
+        F.col(left_ts).alias("__ts"),
+        F.lit(0).alias("__is_r"),
+        F.lit(None).cast(r2.schema["__p"].dataType).alias("__p"),
+        F.struct(*[F.col(c) for c in left.columns]).alias("__l"),
+    )
+    r2 = r2.withColumn("__l", F.lit(None).cast(l2.schema["__l"].dataType))
+    w = (
+        W.partitionBy(*keys)
+        .orderBy(F.col("__ts").asc(), F.col("__is_r").desc())
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    matched = (
+        l2.unionByName(r2)
+        .withColumn("__m", F.last("__p", ignorenulls=True).over(w))
+        .filter(F.col("__is_r") == 0)
+    )
+    return matched.select(
+        "__l.*",
+        *[F.col(f"__m.{c}").alias(c + suffix) for c in payload],
+    )

@@ -55,7 +55,11 @@ def pagerank(
     dst. With the edge table bucketed by src, only the rank table (one
     row per node) crosses the wire per round.
     """
-    e = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst")).distinct()
+    e = (
+        edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
+        .distinct()
+        .localCheckpoint()  # upstream plan runs once, not per consumer
+    )
     outdeg = e.groupBy("src").agg(F.count("*").alias("outdeg"))
     eo = e.join(outdeg, "src").localCheckpoint()
     nodes = (

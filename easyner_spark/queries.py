@@ -463,13 +463,44 @@ FROM (
 """,
 )
 def q_kg_triple_counts(spark, sf_dir):
+    """Global rank without a global sort: the total order
+    (n_cooccur DESC, subj, obj) is unique per row, so rank ==
+    bucket-local row_number + rows-in-higher-buckets. The big table
+    windows hash-partitioned BY n_cooccur; only the per-bucket count
+    table (|distinct counts| rows — Zipf-bounded) crosses a single
+    partition for the offset prefix-sum. Same two-phase pattern as the
+    NEL mint (stages/nel.py:_dense_rank_by), generalized to a numeric
+    leading key."""
     t = QUERIES["kg_triples"](spark, sf_dir)
     agg = t.groupBy("subj", "pred", "obj").agg(F.count("*").alias("n_cooccur"))
-    return agg.withColumn(
-        "rnk",
-        F.rank()
-        .over(W.orderBy(F.desc("n_cooccur"), "subj", "obj"))
-        .cast("bigint"),
+    local = agg.withColumn(
+        "_r",
+        F.row_number().over(
+            W.partitionBy("n_cooccur").orderBy("subj", "obj")
+        ),
+    )
+    offsets = (
+        agg.groupBy("n_cooccur")
+        .agg(F.count("*").alias("_n"))
+        .withColumn(
+            "_off",
+            F.coalesce(
+                F.sum("_n").over(
+                    W.orderBy(F.desc("n_cooccur")).rowsBetween(
+                        W.unboundedPreceding, -1
+                    )
+                ),
+                F.lit(0),
+            ),
+        )
+        .select("n_cooccur", "_off")
+    )
+    return local.join(F.broadcast(offsets), "n_cooccur").select(
+        "subj",
+        "pred",
+        "obj",
+        "n_cooccur",
+        (F.col("_off") + F.col("_r")).cast("bigint").alias("rnk"),
     )
 
 
@@ -3251,4 +3282,115 @@ def q_tpch_small_quantity_revenue(spark, sf_dir):
             F.round(F.sum("price").cast("double") / 7.0, 6).alias("avg_yearly"),
             F.count("*").cast("bigint").alias("n_small"),
         )
+    )
+
+
+@register(
+    "events_asof_purchase",
+    """
+WITH clicks AS (
+  SELECT event_id, user_id, ts FROM events WHERE event_type = 'click'
+),
+purch AS (
+  SELECT user_id, event_id, ts, value FROM events WHERE event_type = 'purchase'
+)
+SELECT c.event_id AS click_id,
+       c.user_id,
+       CAST(epoch_us(c.ts) AS BIGINT) AS click_us,
+       COALESCE(p.event_id, -1) AS purchase_id,
+       COALESCE(CAST(epoch_us(p.ts) AS BIGINT), -1) AS purchase_us,
+       COALESCE(p.value, -1.0) AS purchase_value
+FROM clicks c ASOF LEFT JOIN purch p
+  ON c.user_id = p.user_id AND c.ts >= p.ts
+""",
+)
+def q_events_asof_purchase(spark, sf_dir):
+    """As-of join: every click annotated with the user's latest
+    purchase at or before the click (ops/asof.py tag-and-union window
+    formulation — one shuffle on user_id, no range explosion). The
+    oracle is DuckDB's NATIVE ASOF JOIN, so two independent as-of
+    implementations must agree row-for-row."""
+    from .ops.asof import asof_join
+
+    ev = _read(spark, sf_dir, "events")
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "event_id", "user_id", "ts"
+    )
+    purch = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id", "event_id", "ts", "value"
+    )
+    j = asof_join(clicks, purch, on="user_id")
+    return j.select(
+        F.col("event_id").alias("click_id"),
+        "user_id",
+        F.unix_micros(F.col("ts").cast("timestamp")).alias("click_us"),
+        F.coalesce("event_id_r", F.lit(-1)).alias("purchase_id"),
+        F.coalesce(
+            F.unix_micros(F.col("ts_r").cast("timestamp")), F.lit(-1)
+        ).alias("purchase_us"),
+        F.coalesce("value_r", F.lit(-1.0)).alias("purchase_value"),
+    )
+
+
+@register(
+    "events_interval_overlap",
+    """
+WITH c AS (
+  SELECT event_id, user_id,
+         (epoch_us(ts) // 1000000) % 1800 AS s
+  FROM events WHERE event_type = 'click'
+),
+cc AS (SELECT event_id, user_id, s, s + 1 + event_id % 40 AS e FROM c),
+v AS (
+  SELECT event_id, user_id,
+         (epoch_us(ts) // 1000000) % 1800 AS s
+  FROM events WHERE event_type = 'view'
+),
+vv AS (SELECT event_id, user_id, s, s + 1 + event_id % 25 AS e FROM v)
+SELECT cc.event_id AS click_id, vv.event_id AS view_id, cc.user_id,
+       cc.s AS click_s, cc.e AS click_e, vv.s AS view_s, vv.e AS view_e
+FROM cc JOIN vv
+  ON cc.user_id = vv.user_id AND cc.s <= vv.e AND vv.s <= cc.e
+""",
+)
+def q_events_interval_overlap(spark, sf_dir):
+    """Interval-overlap join per user (binned equi-join,
+    ops/rangejoin.py — bins of 32s over deterministic event spans)
+    against a plain theta-join oracle: the binned rewrite must produce
+    EXACTLY the naive join's pair set. Spark alone would plan the raw
+    predicate as a nested-loop; the bin explosion turns it into one
+    shuffled hash join on (user_id, bin)."""
+    from .ops.rangejoin import interval_join
+
+    ev = _read(spark, sf_dir, "events")
+    sec = F.expr("unix_micros(cast(ts as timestamp)) div 1000000 % 1800")
+    clicks = (
+        ev.filter(F.col("event_type") == "click")
+        .withColumn("start", sec)
+        .select(
+            "event_id",
+            "user_id",
+            "start",
+            (F.col("start") + 1 + F.col("event_id") % 40).alias("end"),
+        )
+    )
+    views = (
+        ev.filter(F.col("event_type") == "view")
+        .withColumn("start", sec)
+        .select(
+            "event_id",
+            "user_id",
+            "start",
+            (F.col("start") + 1 + F.col("event_id") % 25).alias("end"),
+        )
+    )
+    j = interval_join(clicks, views, on="user_id", bin_width=32)
+    return j.select(
+        F.col("event_id").alias("click_id"),
+        F.col("event_id_r").alias("view_id"),
+        "user_id",
+        F.col("start").alias("click_s"),
+        F.col("end").alias("click_e"),
+        F.col("start_r").alias("view_s"),
+        F.col("end_r").alias("view_e"),
     )

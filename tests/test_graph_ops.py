@@ -61,3 +61,65 @@ def test_two_hop_triangle_is_empty(spark):
     # complete triangle: every 2-path lands on a direct neighbor
     e = _edges(spark, [("A", "B"), ("B", "C"), ("C", "A")])
     assert two_hop_reach(e).count() == 0
+
+
+def test_asof_join_semantics(spark):
+    """Backward as-of: latest right at-or-before; equal ts matches;
+    no prior right -> NULLs."""
+    from easyner_spark.ops.asof import asof_join
+
+    left = spark.createDataFrame(
+        [(1, 5, "l0"), (1, 10, "l1"), (1, 25, "l2"), (2, 7, "l3")],
+        "k int, ts int, lid string",
+    )
+    right = spark.createDataFrame(
+        [(1, 10, 1.0), (1, 20, 2.0), (2, 99, 9.0)],
+        "k int, ts int, val double",
+    )
+    got = {
+        r["lid"]: (r["ts_r"], r["val_r"])
+        for r in asof_join(left, right, on="k").collect()
+    }
+    assert got == {
+        "l0": (None, None),  # nothing at or before ts=5
+        "l1": (10, 1.0),  # equal ts matches (inclusive)
+        "l2": (20, 2.0),  # latest preceding, not first
+        "l3": (None, None),  # right exists but only in the future
+    }
+
+
+def test_interval_join_matches_naive(spark):
+    """Binned rewrite == naive theta join on adversarial intervals:
+    boundary touches, spans straddling many bins, nested intervals."""
+    from easyner_spark.ops.rangejoin import interval_join
+
+    lrows = [(1, 0, 10, "a"), (1, 31, 33, "b"), (1, 64, 64, "c"), (2, 5, 100, "d")]
+    rrows = [(1, 10, 31, "x"), (1, 33, 63, "y"), (1, 65, 90, "z"), (2, 0, 4, "w")]
+    left = spark.createDataFrame(lrows, "k int, start int, end int, lid string")
+    right = spark.createDataFrame(rrows, "k int, start int, end int, rid string")
+    for width in (1, 7, 32, 1000):
+        got = {
+            (r["lid"], r["rid_r"])
+            for r in interval_join(left, right, on="k", bin_width=width).collect()
+        }
+        naive = {
+            (l[3], r[3])
+            for l in lrows
+            for r in rrows
+            if l[0] == r[0] and l[1] <= r[2] and r[1] <= l[2]
+        }
+        assert got == naive, f"bin_width={width}"
+        # closed-interval semantics: touching endpoints DO match
+        assert ("a", "x") in got and ("b", "x") in got and ("b", "y") in got
+        # and 'c'@[64,64] must not match 'z'@[65,90]
+        assert ("c", "z") not in got
+
+
+def test_interval_join_no_duplicate_pairs(spark):
+    """A pair sharing many bins must emit exactly once."""
+    from easyner_spark.ops.rangejoin import interval_join
+
+    left = spark.createDataFrame([(1, 0, 99, "l")], "k int, start int, end int, lid string")
+    right = spark.createDataFrame([(1, 50, 999, "r")], "k int, start int, end int, rid string")
+    rows = interval_join(left, right, on="k", bin_width=10).collect()
+    assert len(rows) == 1

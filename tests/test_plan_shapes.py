@@ -130,3 +130,41 @@ def test_pagerank_has_no_single_partition_exchange(spark):
     )
     ranks = pagerank(e, iterations=2)
     assert "Exchange SinglePartition" not in _plan(ranks)
+
+
+def test_triple_counts_rank_windows_by_count_bucket(spark):
+    """The global triple rank must window hash-partitioned by the count
+    bucket; only the Zipf-bounded per-count offset table may pass
+    through a single partition."""
+    from easyner_spark.queries import QUERIES
+
+    plan = _plan(QUERIES["kg_triple_counts"](spark, SF_DIR))
+    assert "hashpartitioning(n_cooccur" in plan
+
+
+def test_asof_join_is_one_shuffle_window(spark):
+    """The as-of join must be the tag-and-union window (one exchange on
+    the key), never a range/theta join."""
+    from easyner_spark.ops.asof import asof_join
+
+    l = spark.createDataFrame([(1, 10)], "k int, ts int")
+    r = spark.createDataFrame([(1, 5, "x")], "k int, ts int, v string")
+    import re
+
+    plan = _plan(asof_join(l, r, on="k"))
+    assert len(re.findall(r"\(\d+\) Exchange", plan)) == 1
+    assert "hashpartitioning(k" in plan
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan
+
+
+def test_interval_join_is_hash_join_not_nested_loop(spark):
+    """The binned interval join must plan as an equi hash join on
+    (key, bin) — never a cartesian/nested-loop range probe."""
+    from easyner_spark.ops.rangejoin import interval_join
+
+    l = spark.createDataFrame([(1, 0, 10)], "k int, start int, end int")
+    r = spark.createDataFrame([(1, 5, 20)], "k int, start int, end int")
+    plan = _plan(interval_join(l, r, on="k", bin_width=8))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "Join" in plan  # it IS a join — on key + __bin equality
