@@ -69,6 +69,7 @@ def run_pipeline(
         "linked",
         "canonical",
         "triples",
+        "graph",
         "analysis",
     }
 
@@ -150,6 +151,50 @@ def run_pipeline(
             cooccurrence_triples(linked, sents, max_mentions_per_sentence=triples_cap),
         )
 
+    if "graph" in want:
+        # north-star output: the queryable graph tables, partitioned by
+        # a stable hash of the node key (same batch_id discipline as
+        # every other stage — co-partitioned for neighbor expansion)
+        from .ops.graph import pagerank
+
+        tri = need("triples", "graph")
+
+        def bkey(c: str):
+            return F.pmod(F.xxhash64(F.col(c)), F.lit(n_batches)).cast("int")
+
+        edges = (
+            tri.groupBy("subj", "pred", "obj")
+            .agg(
+                F.count("*").alias("weight"),
+                F.countDistinct("doc_id").alias("n_docs"),
+            )
+            .withColumn("batch_id", bkey("subj"))
+        )
+        commit("graph_edges", edges)
+        outd = tri.groupBy(F.col("subj").alias("node")).agg(
+            F.count("*").alias("out_degree")
+        )
+        ind = tri.groupBy(F.col("obj").alias("node")).agg(
+            F.count("*").alias("in_degree")
+        )
+        nodes = (
+            outd.join(ind, "node", "full")
+            .select(
+                "node",
+                F.coalesce("out_degree", F.lit(0)).alias("out_degree"),
+                F.coalesce("in_degree", F.lit(0)).alias("in_degree"),
+            )
+            .withColumn("batch_id", bkey("node"))
+        )
+        commit("graph_nodes", nodes)
+        pr = pagerank(
+            tri.select(F.col("subj").alias("src"), F.col("obj").alias("dst")).filter(
+                F.col("src") != F.col("dst")
+            ),
+            iterations=5,
+        )
+        commit("graph_pagerank", pr.withColumn("batch_id", bkey("node")))
+
     if "analysis" in want:
         mentions = mentions if mentions is not None else need("mentions", "analysis")
         # production default with_sets=False: never build per-surface
@@ -191,7 +236,9 @@ def main() -> None:
         default=None,
         help="comma-separated subset of stages to run (the reference's "
         "config 'ignore' map, inverted; e.g. --stages mentions,linked "
-        "re-runs NER+NEL over checkpointed sentences)",
+        "re-runs NER+NEL over checkpointed sentences; 'graph' "
+        "materializes graph_nodes/graph_edges/graph_pagerank from "
+        "committed triples)",
     )
     ap.add_argument(
         "--triples-cap",

@@ -197,3 +197,40 @@ def test_full_pipeline_orchestrator_matches_oracle(spark, tmp_path, oracle):
     }
     p, r = precision_recall(pred, oracle["triples"])
     assert p == 1.0 and r == 1.0
+
+
+def test_graph_stage_materializes_consistent_tables(spark, tmp_path):
+    """The 'graph' stage must write node/edge/pagerank tables that are
+    mutually consistent with the committed triples (north-rule graph
+    materialization)."""
+    import pyspark.sql.functions as F
+
+    from easyner_spark.corpus import pages_df
+    from easyner_spark.io.catalog import CheckpointCatalog
+    from easyner_spark.ops.graph import PR_SCALE
+    from easyner_spark.pipeline import run_pipeline
+
+    wh = str(tmp_path / "wh_graph")
+    run_pipeline(spark, pages_df(spark, n_docs=120), wh, n_batches=4)
+    cat = CheckpointCatalog(wh)
+    triples = cat.read_stage(spark, "triples")
+    edges = cat.read_stage(spark, "graph_edges")
+    nodes = cat.read_stage(spark, "graph_nodes")
+    pr = cat.read_stage(spark, "graph_pagerank")
+
+    assert edges.agg(F.sum("weight")).first()[0] == triples.count()
+    node_set = {r["node"] for r in nodes.select("node").collect()}
+    ends = {
+        r["n"]
+        for r in triples.select(F.col("subj").alias("n"))
+        .union(triples.select("obj"))
+        .distinct()
+        .collect()
+    }
+    assert node_set == ends
+    # pagerank covers every non-self-loop participant, ranks positive,
+    # total mass bounded by n_nodes * scale (dangling mass only leaks)
+    prows = pr.select("node", "rank_scaled").collect()
+    assert {r["node"] for r in prows} <= node_set
+    assert all(r["rank_scaled"] > 0 for r in prows)
+    assert sum(r["rank_scaled"] for r in prows) <= len(prows) * PR_SCALE
