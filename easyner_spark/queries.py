@@ -3394,3 +3394,51 @@ def q_events_interval_overlap(spark, sf_dir):
         F.col("start_r").alias("view_s"),
         F.col("end_r").alias("view_e"),
     )
+
+
+@register(
+    "doc_length_deciles",
+    """
+WITH ranked AS (
+  SELECT source, n_chars,
+         CAST(ROW_NUMBER() OVER (PARTITION BY source
+                                 ORDER BY n_chars, doc_id) AS BIGINT) AS rn,
+         CAST(count(*) OVER (PARTITION BY source) AS BIGINT) AS cnt
+  FROM documents
+)
+SELECT source, CAST(d AS INT) AS decile, n_chars AS value
+FROM ranked CROSS JOIN (SELECT unnest(range(1, 10)) AS d) ds
+WHERE rn = (d * cnt + 9) // 10
+""",
+)
+def q_doc_length_deciles(spark, sf_dir):
+    """Exact per-source length deciles by rank selection (row_number +
+    ceil-index pick, pure integer math) — the corpus-profiling report
+    run before setting quality-filter thresholds. No percentile UDAF:
+    cross-engine percentile semantics differ, rank selection does not.
+    The window partitions by source (bounded groups); at web scale the
+    same shape runs per domain/language shard — never a global sort."""
+    d = _read(spark, sf_dir, "documents")
+    ranked = d.select(
+        "source",
+        "n_chars",
+        F.row_number()
+        .over(W.partitionBy("source").orderBy("n_chars", "doc_id"))
+        .cast("bigint")
+        .alias("rn"),
+        F.count("*")
+        .over(W.partitionBy("source"))
+        .cast("bigint")
+        .alias("cnt"),
+    )
+    deciles = ranked.join(
+        F.broadcast(
+            d.sparkSession.range(1, 10).select(F.col("id").alias("d"))
+        ),
+        F.col("rn") == F.expr("(d * cnt + 9) div 10"),
+    )
+    return deciles.select(
+        "source",
+        F.col("d").cast("int").alias("decile"),
+        F.col("n_chars").alias("value"),
+    )

@@ -26,15 +26,23 @@ def get_spark(
     spark-submit and this function only layers the SQL configs.
     """
     if master is None:
-        cpus = os.environ.get("SPARK_GRAFT_CPUS", "*")
-        master = f"local[{cpus}]"
+        # under spark-submit the master arrives as a system property —
+        # respect it (never override the cluster manager from library
+        # code); standalone library use falls back to local mode
+        from pyspark import SparkConf
+
+        if not SparkConf().contains("spark.master"):
+            cpus = os.environ.get("SPARK_GRAFT_CPUS", "*")
+            master = f"local[{cpus}]"
     if shuffle_partitions is None:
         cpus_s = os.environ.get("SPARK_GRAFT_CPUS", "")
         shuffle_partitions = int(cpus_s) if cpus_s.isdigit() else (os.cpu_count() or 8)
 
+    builder = SparkSession.builder.appName(app_name)
+    if master is not None:
+        builder = builder.master(master)
     builder = (
-        SparkSession.builder.appName(app_name)
-        .master(master)
+        builder
         .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
