@@ -17,8 +17,12 @@ per-key quadratic blow-up that is unusable at web scale.
 
 Determinism: rows at equal timestamps order right-before-left, so a
 left row at exactly t matches a right row at t (inclusive semantics,
-matching DuckDB's ``ASOF JOIN ... ON l.ts >= r.ts`` oracle). The right
-side should be unique per (keys, ts); pre-aggregate if it is not.
+matching DuckDB's ``ASOF JOIN ... ON l.ts >= r.ts`` oracle). Right rows
+tied on (keys, ts) are ordered by their payload struct, so the match is
+the GREATEST payload — deterministic under any partition layout. Note
+an external oracle (e.g. DuckDB ASOF) makes its own arbitrary pick on
+such ties: pre-aggregate the right side to one row per (keys, ts) when
+cross-engine agreement matters.
 """
 
 from __future__ import annotations
@@ -57,7 +61,13 @@ def asof_join(
     r2 = r2.withColumn("__l", F.lit(None).cast(l2.schema["__l"].dataType))
     w = (
         W.partitionBy(*keys)
-        .orderBy(F.col("__ts").asc(), F.col("__is_r").desc())
+        .orderBy(
+            F.col("__ts").asc(),
+            F.col("__is_r").desc(),
+            # deterministic tie-break among right rows at one ts: the
+            # greatest payload struct wins (last() takes the final one)
+            F.col("__p").asc_nulls_first(),
+        )
         .rowsBetween(W.unboundedPreceding, W.currentRow)
     )
     matched = (

@@ -27,7 +27,14 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, functions as F
 
-PR_SCALE = 10**12  # rank unit = 1e-12; BIGINT headroom: 85 * n * SCALE << 2^63
+# rank unit = 1/PR_SCALE. Headroom: total rank mass is bounded by
+# n_nodes * scale, and a single hub can in principle absorb almost all
+# of it, so pick scale <= 2^62 / n_nodes (1e12 is good to ~4.6M nodes;
+# use 1e6 for billion-node graphs). The in-sum and the 85*s product are
+# computed in DECIMAL(38,0) (exact, order-invariant), so the only
+# overflow surface is the final per-node rank itself — and under ANSI
+# mode that fails loudly instead of wrapping.
+PR_SCALE = 10**12
 PR_DAMP_NUM = 85  # damping 0.85 as an exact rational (85/100)
 PR_DAMP_DEN = 100
 
@@ -70,10 +77,18 @@ def pagerank(
     )
     base = PR_DAMP_DEN - PR_DAMP_NUM  # 15
     ranks = nodes.withColumn("rank", F.lit(scale).cast("bigint"))
+    base_term = base * scale // PR_DAMP_DEN
     for _ in range(iterations):
+        # per-edge contribution stays BIGINT (bounded by a node's rank);
+        # the in-sum and damping product go through DECIMAL(38,0) so no
+        # intermediate can overflow int64 on hub nodes (the DuckDB
+        # oracle's SUM(BIGINT) is HUGEINT — same exact semantics)
         in_sum = (
             eo.join(ranks, eo["src"] == ranks["node"])
-            .select(F.col("dst").alias("node"), F.expr("rank div outdeg").alias("c"))
+            .select(
+                F.col("dst").alias("node"),
+                F.expr("CAST(rank div outdeg AS DECIMAL(38,0))").alias("c"),
+            )
             .groupBy("node")
             .agg(F.sum("c").alias("s"))
         )
@@ -82,9 +97,9 @@ def pagerank(
             .select(
                 "node",
                 F.expr(
-                    f"CAST({base * scale} div {PR_DAMP_DEN}"
-                    f" + ({PR_DAMP_NUM} * coalesce(s, 0L)) div {PR_DAMP_DEN}"
-                    " AS BIGINT)"
+                    f"CAST({base_term} + floor({PR_DAMP_NUM}"
+                    f" * coalesce(s, CAST(0 AS DECIMAL(38,0)))"
+                    f" / {PR_DAMP_DEN}) AS BIGINT)"
                 ).alias("rank"),
             )
             .localCheckpoint()

@@ -26,18 +26,36 @@ def canonical_url(url: Column) -> Column:
     """Canonical form of a URL. Rules, in order:
 
     1. drop the fragment;
-    2. drop ``utm_*`` tracking params (mid-list, first-with-more, only);
-    3. lowercase the scheme+authority, strip default ports :80/:443;
+    2. drop ``utm_*`` tracking params — applied to the query string
+       only (split off at the first ``?``), never to the path: a
+       literal ``&utm_`` in a path segment (legal per RFC 3986
+       sub-delims) must not truncate it;
+    3. lowercase the scheme+authority; strip the default port only for
+       its own scheme (https :443 / http :80 — http-on-443 is a
+       DIFFERENT resource and keeps its port);
     4. drop a trailing slash (also directly before ``?``);
     5. drop a dangling ``?`` / ``&``.
     """
     u = F.regexp_replace(url, "#.*$", "")
-    u = F.regexp_replace(u, "&utm_[^&]*", "")
-    u = F.regexp_replace(u, "\\?utm_[^&]*&", "?")
-    u = F.regexp_replace(u, "\\?utm_[^&]*$", "")
-    sh = F.regexp_extract(u, _SCHEME_HOST, 0)
+    path = F.regexp_replace(u, "\\?.*$", "")
+    q = F.regexp_extract(u, "\\?.*$", 0)
+    q = F.regexp_replace(q, "&utm_[^&]*", "")
+    q = F.regexp_replace(q, "^\\?utm_[^&]*&", "?")
+    q = F.regexp_replace(q, "^\\?utm_[^&]*$", "")
+    u = F.concat(path, q)
+    sh = F.lower(F.regexp_extract(u, _SCHEME_HOST, 0))
     rest = F.regexp_replace(u, _SCHEME_HOST, "")
-    u = F.concat(F.regexp_replace(F.lower(sh), ":(80|443)$", ""), rest)
+    sh = (
+        F.when(
+            sh.rlike("^https://[^/:?#]+:443$"),
+            F.regexp_replace(sh, ":443$", ""),
+        )
+        .when(
+            sh.rlike("^http://[^/:?#]+:80$"), F.regexp_replace(sh, ":80$", "")
+        )
+        .otherwise(sh)
+    )
+    u = F.concat(sh, rest)
     u = F.regexp_replace(u, "/\\?", "?")
     u = F.regexp_replace(u, "/$", "")
     return F.regexp_replace(u, "[?&]$", "")

@@ -472,7 +472,15 @@ def q_kg_triple_counts(spark, sf_dir):
     NEL mint (stages/nel.py:_dense_rank_by), generalized to a numeric
     leading key."""
     t = QUERIES["kg_triples"](spark, sf_dir)
-    agg = t.groupBy("subj", "pred", "obj").agg(F.count("*").alias("n_cooccur"))
+    agg = (
+        t.groupBy("subj", "pred", "obj")
+        .agg(F.count("*").alias("n_cooccur"))
+        # materialize once: rank side and offset side both consume this
+        # aggregate, and Catalyst does not dedupe the two logical
+        # subtrees (no ReusedExchange across the self-join) — without
+        # this the whole triple pipeline executes twice
+        .localCheckpoint()
+    )
     local = agg.withColumn(
         "_r",
         F.row_number().over(
@@ -480,7 +488,10 @@ def q_kg_triple_counts(spark, sf_dir):
         ),
     )
     offsets = (
-        agg.groupBy("n_cooccur")
+        # derived from `local`, not `agg`: both consumers then share the
+        # exchange-on-n_cooccur subplan (ReusedExchange), so the triple
+        # aggregation runs once, and this groupBy needs no new shuffle
+        local.groupBy("n_cooccur")
         .agg(F.count("*").alias("_n"))
         .withColumn(
             "_off",
@@ -3013,29 +3024,41 @@ urls AS (
 _SH_RE = "^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*"
 
 # the same rule chain as ops/web.py:canonical_url, DuckDB spelling
-# ('g' flag = Spark's global-by-default; no replacement backrefs)
+# ('g' flag = Spark's global-by-default; no replacement backrefs).
+# utm stripping applies to the query string only (split at the first
+# '?'); default ports strip only for their own scheme.
 _CANON_SQL = f"""
 c1 AS (SELECT doc_id, source, n_chars, url,
               regexp_replace(url, '#.*$', '', 'g') AS u FROM urls),
 c2 AS (SELECT doc_id, source, n_chars, url,
-              regexp_replace(u, '&utm_[^&]*', '', 'g') AS u FROM c1),
-c3 AS (SELECT doc_id, source, n_chars, url,
-              regexp_replace(u, '\\?utm_[^&]*&', '?', 'g') AS u FROM c2),
-c4 AS (SELECT doc_id, source, n_chars, url,
-              regexp_replace(u, '\\?utm_[^&]*$', '', 'g') AS u FROM c3),
+              regexp_replace(u, '\\?.*$', '', 'g') AS p,
+              regexp_extract(u, '\\?.*$', 0) AS q FROM c1),
+c3 AS (SELECT doc_id, source, n_chars, url, p,
+              regexp_replace(q, '&utm_[^&]*', '', 'g') AS q FROM c2),
+c4 AS (SELECT doc_id, source, n_chars, url, p,
+              regexp_replace(q, '^\\?utm_[^&]*&', '?', 'g') AS q FROM c3),
 c5 AS (SELECT doc_id, source, n_chars, url,
-              regexp_replace(lower(regexp_extract(u, '{_SH_RE}', 0)),
-                             ':(80|443)$', '', 'g')
-              || regexp_replace(u, '{_SH_RE}', '', 'g') AS u FROM c4),
+              p || regexp_replace(q, '^\\?utm_[^&]*$', '', 'g') AS u
+       FROM c4),
 c6 AS (SELECT doc_id, source, n_chars, url,
+              lower(regexp_extract(u, '{_SH_RE}', 0)) AS sh,
+              regexp_replace(u, '{_SH_RE}', '', 'g') AS rest FROM c5),
+c7 AS (SELECT doc_id, source, n_chars, url,
+              (CASE WHEN regexp_matches(sh, '^https://[^/:?#]+:443$')
+                    THEN regexp_replace(sh, ':443$', '', 'g')
+                    WHEN regexp_matches(sh, '^http://[^/:?#]+:80$')
+                    THEN regexp_replace(sh, ':80$', '', 'g')
+                    ELSE sh END) || rest AS u
+       FROM c6),
+c8 AS (SELECT doc_id, source, n_chars, url,
               regexp_replace(regexp_replace(u, '/\\?', '?', 'g'),
-                             '/$', '', 'g') AS u FROM c5),
+                             '/$', '', 'g') AS u FROM c7),
 canon AS (
   SELECT doc_id, source, n_chars, url,
          regexp_replace(u, '[?&]$', '', 'g') AS canon_url,
          lower(regexp_extract(url,
                '^[A-Za-z][A-Za-z0-9+.-]*://([^/?#:]+)', 1)) AS host
-  FROM c6
+  FROM c8
 )
 """
 
@@ -3291,8 +3314,13 @@ def q_tpch_small_quantity_revenue(spark, sf_dir):
 WITH clicks AS (
   SELECT event_id, user_id, ts FROM events WHERE event_type = 'click'
 ),
+pmax AS (
+  SELECT user_id, ts, max(event_id) AS event_id
+  FROM events WHERE event_type = 'purchase' GROUP BY user_id, ts
+),
 purch AS (
-  SELECT user_id, event_id, ts, value FROM events WHERE event_type = 'purchase'
+  SELECT p.user_id, p.event_id, p.ts, e.value
+  FROM pmax p JOIN events e ON e.event_id = p.event_id
 )
 SELECT c.event_id AS click_id,
        c.user_id,
@@ -3316,7 +3344,16 @@ def q_events_asof_purchase(spark, sf_dir):
     clicks = ev.filter(F.col("event_type") == "click").select(
         "event_id", "user_id", "ts"
     )
-    purch = ev.filter(F.col("event_type") == "purchase").select(
+    # deterministic right side: one purchase per (user_id, ts) — max
+    # event_id wins; DuckDB's native ASOF makes an ARBITRARY pick on
+    # such ties, so cross-engine agreement needs the pre-aggregation
+    praw = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id", "event_id", "ts", "value"
+    )
+    pmax = praw.groupBy("user_id", "ts").agg(
+        F.max("event_id").alias("event_id")
+    )
+    purch = pmax.join(praw.select("event_id", "value"), "event_id").select(
         "user_id", "event_id", "ts", "value"
     )
     j = asof_join(clicks, purch, on="user_id")

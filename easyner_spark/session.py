@@ -26,12 +26,14 @@ def get_spark(
     spark-submit and this function only layers the SQL configs.
     """
     if master is None:
-        # under spark-submit the master arrives as a system property —
-        # respect it (never override the cluster manager from library
-        # code); standalone library use falls back to local mode
-        from pyspark import SparkConf
-
-        if not SparkConf().contains("spark.master"):
+        # under spark-submit the JVM gateway already exists and exports
+        # PYSPARK_GATEWAY_PORT to the python driver — respect the
+        # submit-provided master (never override the cluster manager
+        # from library code). NOTE: SparkConf().contains("spark.master")
+        # is NOT a usable signal here — before the first SparkContext
+        # the python-side conf is an empty dict. Standalone library use
+        # falls back to local mode.
+        if "PYSPARK_GATEWAY_PORT" not in os.environ:
             cpus = os.environ.get("SPARK_GRAFT_CPUS", "*")
             master = f"local[{cpus}]"
     if shuffle_partitions is None:

@@ -123,3 +123,18 @@ def test_interval_join_no_duplicate_pairs(spark):
     right = spark.createDataFrame([(1, 50, 999, "r")], "k int, start int, end int, rid string")
     rows = interval_join(left, right, on="k", bin_width=10).collect()
     assert len(rows) == 1
+
+
+def test_asof_join_tied_right_rows_pick_greatest_payload(spark):
+    """Right rows tied on (key, ts) must resolve deterministically to
+    the greatest payload struct under any partition layout."""
+    from easyner_spark.ops.asof import asof_join
+
+    left = spark.createDataFrame([(1, 10, "l")], "k int, ts int, lid string")
+    right = spark.createDataFrame(
+        [(1, 10, 7, 1.0), (1, 10, 9, 2.0), (1, 10, 8, 3.0)],
+        "k int, ts int, rid int, val double",
+    )
+    for parts in (1, 5):
+        row = asof_join(left, right.repartition(parts), on="k").collect()[0]
+        assert (row["rid_r"], row["val_r"]) == (9, 2.0)

@@ -23,6 +23,13 @@ CASES = [
     ("https://a.org/x/?id=2", "https://a.org/x?id=2"),
     ("https://a.org/x?utm_a=1#f", "https://a.org/x"),
     ("https://a.org/X/Y?Id=2", "https://a.org/X/Y?Id=2"),  # path/query case kept
+    # literal &utm_ in a PATH segment (RFC 3986 sub-delim) must survive
+    ("https://a.org/a&utm_b/c", "https://a.org/a&utm_b/c"),
+    # default ports strip only for their own scheme
+    ("http://a.org:443/x", "http://a.org:443/x"),
+    ("https://a.org:80/x", "https://a.org:80/x"),
+    # utm param whose VALUE is in the path-lookalike form
+    ("https://a.org/p?utm_x=a/b&id=1", "https://a.org/p?id=1"),
 ]
 
 
