@@ -3479,3 +3479,67 @@ def q_doc_length_deciles(spark, sf_dir):
         F.col("d").cast("int").alias("decile"),
         F.col("n_chars").alias("value"),
     )
+
+
+@register(
+    "events_rollup_cascade",
+    """
+WITH minute AS (
+  SELECT date_trunc('minute', ts) AS b, event_type,
+         CAST(count(*) AS BIGINT) AS n,
+         SUM(CAST(value AS DECIMAL(18,6))) AS v
+  FROM events GROUP BY 1, 2
+),
+hour AS (
+  SELECT date_trunc('hour', b) AS b, event_type,
+         CAST(SUM(n) AS BIGINT) AS n, SUM(v) AS v
+  FROM minute GROUP BY 1, 2
+),
+day AS (
+  SELECT date_trunc('day', b) AS b, event_type,
+         CAST(SUM(n) AS BIGINT) AS n, SUM(v) AS v
+  FROM hour GROUP BY 1, 2
+)
+SELECT lvl, CAST(epoch_us(b) AS BIGINT) AS bucket_us, event_type, n,
+       CAST(v AS DOUBLE) AS total_value
+FROM (
+  SELECT 'minute' AS lvl, * FROM minute
+  UNION ALL SELECT 'hour', * FROM hour
+  UNION ALL SELECT 'day', * FROM day
+) u
+""",
+)
+def q_events_rollup_cascade(spark, sf_dir):
+    """Hypertable-style cascading rollup: minute buckets aggregate from
+    raw events ONCE, hour aggregates from minute partials, day from
+    hour — one scan feeds all three granularities (the continuous-
+    aggregate pattern; at scale each level materializes and the next
+    reads it instead of raw data). Exact DECIMAL partial sums re-
+    aggregate losslessly — a float sum would drift between levels."""
+    ev = _read(spark, sf_dir, "events").select(
+        F.col("ts").cast("timestamp").alias("ts"),
+        "event_type",
+        F.col("value").cast("decimal(18,6)").alias("v"),
+    )
+    minute = ev.groupBy(
+        F.date_trunc("minute", "ts").alias("b"), "event_type"
+    ).agg(F.count("*").cast("bigint").alias("n"), F.sum("v").alias("v"))
+    hour = minute.groupBy(
+        F.date_trunc("hour", "b").alias("b"), "event_type"
+    ).agg(F.sum("n").cast("bigint").alias("n"), F.sum("v").alias("v"))
+    day = hour.groupBy(
+        F.date_trunc("day", "b").alias("b"), "event_type"
+    ).agg(F.sum("n").cast("bigint").alias("n"), F.sum("v").alias("v"))
+
+    def lvl(df, name):
+        return df.select(
+            F.lit(name).alias("lvl"),
+            F.unix_micros("b").alias("bucket_us"),
+            "event_type",
+            "n",
+            F.col("v").cast("double").alias("total_value"),
+        )
+
+    return lvl(minute, "minute").unionByName(lvl(hour, "hour")).unionByName(
+        lvl(day, "day")
+    )
