@@ -19,11 +19,19 @@ def duck_con(sf_dir: str) -> "duckdb.DuckDBPyConnection":
     return con
 
 
+def _norm_cell(x):
+    """Arrays arrive as list (Spark) vs numpy.ndarray (DuckDB) — same
+    values, different str() forms; normalize to tuples before compare."""
+    if isinstance(x, (list, tuple)) or type(x).__name__ == "ndarray":
+        return tuple(_norm_cell(v) for v in x)
+    return x
+
+
 def canon(df: pd.DataFrame) -> pd.DataFrame:
     df = df[sorted(df.columns)].copy()
     for c in df.columns:
         if df[c].dtype == object:
-            df[c] = df[c].astype(str)
+            df[c] = df[c].map(_norm_cell).astype(str)
     df = df.sort_values(by=list(df.columns), kind="mergesort").reset_index(drop=True)
     return df
 

@@ -107,7 +107,40 @@ def pagerank(
     return ranks.select("node", F.col("rank").alias("rank_scaled"))
 
 
-def triangles(edges: DataFrame, src: str = "src", dst: str = "dst") -> DataFrame:
+def _undirected(edges: DataFrame, src: str, dst: str) -> DataFrame:
+    return (
+        edges.select(
+            F.least(F.col(src), F.col(dst)).alias("a"),
+            F.greatest(F.col(src), F.col(dst)).alias("b"),
+        )
+        .filter(F.col("a") != F.col("b"))
+        .distinct()
+    )
+
+
+def _drop_hubs(u: DataFrame, max_degree: int) -> DataFrame:
+    """Remove edges touching nodes whose undirected degree exceeds the
+    cap — the standard super-hub guard before quadratic expansions
+    (same policy as stages/triples.py's per-sentence mention cap:
+    opt-in, exact when None)."""
+    deg = (
+        u.select(F.col("a").alias("n"))
+        .union(u.select(F.col("b").alias("n")))
+        .groupBy("n")
+        .agg(F.count("*").alias("d"))
+    )
+    hubs = deg.filter(F.col("d") > max_degree).select("n")
+    return u.join(
+        hubs.withColumnRenamed("n", "a"), "a", "left_anti"
+    ).join(hubs.withColumnRenamed("n", "b"), "b", "left_anti")
+
+
+def triangles(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    max_degree: int | None = None,
+) -> DataFrame:
     """Per-node triangle participation → (node, n_triangles BIGINT).
 
     Edges are canonicalized to undirected (a < b, distinct); each
@@ -119,20 +152,18 @@ def triangles(edges: DataFrame, src: str = "src", dst: str = "dst") -> DataFrame
     a<b<c orientation makes every wedge originate at its lowest-id
     corner, which bounds the join fan-out by the *oriented* degree
     (max out-degree under the ordering ≈ sqrt(m) after degree
-    orientation), the same trick GraphX/GraphFrames use.
+    orientation), the same trick GraphX/GraphFrames use. On open-web
+    graphs pass ``max_degree`` to drop super-hub edges before the
+    wedge join (exact when None; capped mode deliberately ignores
+    triangles through hubs — stopword-like entities).
     """
-    u = (
-        edges.select(
-            F.least(F.col(src), F.col(dst)).alias("a"),
-            F.greatest(F.col(src), F.col(dst)).alias("b"),
-        )
-        .filter(F.col("a") != F.col("b"))
-        .distinct()
-        # materialize once: the three-way self-join would otherwise
-        # replicate the whole upstream plan per alias (a production run
-        # reads the already-materialized edge table instead)
-        .localCheckpoint()
-    )
+    u = _undirected(edges, src, dst)
+    if max_degree is not None:
+        u = _drop_hubs(u, max_degree)
+    # materialize once: the three-way self-join would otherwise
+    # replicate the whole upstream plan per alias (a production run
+    # reads the already-materialized edge table instead)
+    u = u.localCheckpoint()
     e1, e2, e3 = u.alias("e1"), u.alias("e2"), u.alias("e3")
     tri = (
         e1.join(e2, F.col("e1.b") == F.col("e2.a"))
@@ -153,7 +184,12 @@ def triangles(edges: DataFrame, src: str = "src", dst: str = "dst") -> DataFrame
     )
 
 
-def two_hop_reach(edges: DataFrame, src: str = "src", dst: str = "dst") -> DataFrame:
+def two_hop_reach(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    max_mid_degree: int | None = None,
+) -> DataFrame:
     """Distinct two-hop reach → (node, n_two_hop BIGINT).
 
     Counts nodes exactly two undirected hops away: reachable via a
@@ -164,17 +200,23 @@ def two_hop_reach(edges: DataFrame, src: str = "src", dst: str = "dst") -> DataF
 
     Scale: adjacency⋈adjacency on the middle node is the one big
     shuffle; the anti-join reuses the adjacency partitioning. Skewed
-    hubs bound the fan-out at degree² — production applies the same
-    degree cap as stages/triples.py before expansion.
+    hubs bound the fan-out at degree² — ``max_mid_degree`` drops
+    super-hub MIDDLE nodes before expansion (paths through stopword-
+    like entities carry no signal); endpoints are unaffected, exact
+    when None.
     """
+    u0 = _undirected(edges, src, dst)
     adj = (
-        edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
-        .union(edges.select(F.col(dst).alias("u"), F.col(src).alias("v")))
-        .filter(F.col("u") != F.col("v"))
-        .distinct()
+        u0.select(F.col("a").alias("u"), F.col("b").alias("v"))
+        .union(u0.select(F.col("b").alias("u"), F.col("a").alias("v")))
         .localCheckpoint()  # reused by both self-join sides + anti-join
     )
-    l, r = adj.alias("l"), adj.alias("r")
+    mid = adj
+    if max_mid_degree is not None:
+        deg = adj.groupBy(F.col("u").alias("m")).agg(F.count("*").alias("d"))
+        hubs = deg.filter(F.col("d") > max_mid_degree).select("m")
+        mid = adj.join(hubs.withColumnRenamed("m", "u"), "u", "left_anti")
+    l, r = adj.alias("l"), mid.alias("r")  # middle node is r.u (== l.v)
     paths = (
         l.join(r, F.col("l.v") == F.col("r.u"))
         .filter(F.col("l.u") != F.col("r.v"))

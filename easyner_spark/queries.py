@@ -2465,7 +2465,14 @@ WITH v AS (
   FROM embeddings
 ),
 dims AS (
-  SELECT label, pos, round(AVG(CAST(val AS DOUBLE)), 6) AS a
+  -- order- and engine-invariant mean: quantize each value to an
+  -- integer with pure IEEE ops (multiply, +0.5, floor — bit-identical
+  -- everywhere), sum exactly as integers, divide once. A double AVG is
+  -- sum-order-dependent (flipped a 1e-6 rounding boundary at sf0.1)
+  -- and double->DECIMAL casts differ between engines at the 17th digit
+  SELECT label, pos,
+         CAST(SUM(CAST(floor(CAST(val AS DOUBLE) * 1e9 + 0.5) AS BIGINT))
+              AS DOUBLE) / (CAST(count(*) AS DOUBLE) * 1e9) AS a
   FROM v GROUP BY label, pos
 ),
 counts AS (SELECT label, CAST(count(*) AS BIGINT) AS n FROM embeddings GROUP BY label)
@@ -2479,11 +2486,23 @@ def q_embed_label_centroids(spark, sf_dir):
     building block): explode to (label, pos, val), average per
     dimension (map-side partials; the shuffle is |labels|·dim rows),
     reassemble the centroid array in dimension order. Cross-engine
-    float rule: round(avg, 6) on both sides."""
+    float rule: each value is quantized to an integer with pure IEEE
+    ops (×1e9, +0.5, floor — bit-identical in every engine), summed
+    exactly as BIGINT, divided once — order- and engine-invariant at
+    any SF. (A double AVG flipped a 1e-6 rounding boundary at sf0.1,
+    and double→DECIMAL casts differ between engines at the 17th
+    digit.)"""
     e = _read(spark, sf_dir, "embeddings")
     v = e.select("label", F.posexplode("embedding").alias("pos", "val"))
     dims = v.groupBy("label", "pos").agg(
-        F.round(F.avg(F.col("val").cast("double")), 6).alias("a")
+        (
+            F.sum(
+                F.floor(
+                    F.col("val").cast("double") * F.lit(1e9) + F.lit(0.5)
+                ).cast("bigint")
+            ).cast("double")
+            / (F.count("*").cast("double") * F.lit(1e9))
+        ).alias("a")
     )
     counts = e.groupBy("label").agg(F.count("*").alias("n"))
     cent = dims.groupBy("label").agg(

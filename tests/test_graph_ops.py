@@ -138,3 +138,38 @@ def test_asof_join_tied_right_rows_pick_greatest_payload(spark):
     for parts in (1, 5):
         row = asof_join(left, right.repartition(parts), on="k").collect()[0]
         assert (row["rid_r"], row["val_r"]) == (9, 2.0)
+
+
+def test_degree_caps_drop_hub_paths(spark):
+    """Opt-in hub guards: triangles ignores triangles touching a
+    capped node; two-hop drops paths THROUGH a hub but keeps hubs as
+    endpoints of other paths."""
+    # H is a degree-4 hub: triangle A-B-H plus spokes H-C, H-D; also a
+    # hub-free triangle X-Y-Z and a path C-E.
+    e = _edges(
+        spark,
+        [
+            ("A", "B"), ("B", "H"), ("H", "A"), ("H", "C"), ("H", "D"),
+            ("X", "Y"), ("Y", "Z"), ("Z", "X"), ("C", "E"),
+        ],
+    )
+    full = {r["node"]: r["n_triangles"] for r in triangles(e).collect()}
+    assert full == {"A": 1, "B": 1, "H": 1, "X": 1, "Y": 1, "Z": 1}
+    capped = {
+        r["node"]: r["n_triangles"]
+        for r in triangles(e, max_degree=3).collect()
+    }
+    assert capped == {"X": 1, "Y": 1, "Z": 1}  # hub triangle gone
+
+    # two-hop without cap: e.g. A reaches C,D via H and H-paths exist
+    full2 = {r["node"]: r["n_two_hop"] for r in two_hop_reach(e).collect()}
+    assert full2["E"] == 1  # E -C- H
+    # cap middle degree at 3: paths through H vanish; C-E path (mid
+    # degree 2) survives, so H can still be reached/reach via C
+    capped2 = {
+        r["node"]: r["n_two_hop"]
+        for r in two_hop_reach(e, max_mid_degree=3).collect()
+    }
+    # E-C-H survives (mid C has degree 2), both directions
+    assert capped2 == {"E": 1, "H": 1}
+    # A's only 2-hop paths ran through H (to C, D) — gone under the cap

@@ -1,0 +1,121 @@
+"""Seeded randomized cross-validation: each distributed operator vs a
+sequential Python reference on adversarial random inputs (one Spark job
+per sweep — deterministic seed, not hypothesis, so runtime stays flat).
+"""
+
+import random
+
+from pyspark.sql import functions as F
+
+
+def test_interval_join_random_sweep_matches_naive(spark):
+    rng = random.Random(42)
+
+    def intervals(n, tag):
+        out = []
+        for i in range(n):
+            s = rng.randrange(0, 500)
+            out.append((rng.randrange(1, 6), s, s + rng.randrange(0, 120), f"{tag}{i}"))
+        return out
+
+    lrows, rrows = intervals(150, "l"), intervals(150, "r")
+    from easyner_spark.ops.rangejoin import interval_join
+
+    left = spark.createDataFrame(lrows, "k int, start int, end int, lid string")
+    right = spark.createDataFrame(rrows, "k int, start int, end int, rid string")
+    naive = {
+        (l[3], r[3])
+        for l in lrows
+        for r in rrows
+        if l[0] == r[0] and l[1] <= r[2] and r[1] <= l[2]
+    }
+    for width in (3, 16, 97):
+        got = {
+            (r["lid"], r["rid_r"])
+            for r in interval_join(left, right, on="k", bin_width=width).collect()
+        }
+        assert got == naive, f"bin_width={width}: {len(got)} vs {len(naive)}"
+
+
+def test_asof_join_random_sweep_matches_sequential(spark):
+    rng = random.Random(7)
+    lrows = [
+        (rng.randrange(1, 8), rng.randrange(0, 200), i) for i in range(200)
+    ]
+    # deliberately include (key, ts) collisions on the right
+    rrows = [
+        (rng.randrange(1, 8), rng.randrange(0, 200), i, float(rng.randrange(0, 50)))
+        for i in range(150)
+    ]
+    from easyner_spark.ops.asof import asof_join
+
+    left = spark.createDataFrame(lrows, "k int, ts int, lid int")
+    right = spark.createDataFrame(rrows, "k int, ts int, rid int, val double")
+
+    def expected(k, ts):
+        cands = [r for r in rrows if r[0] == k and r[1] <= ts]
+        if not cands:
+            return (None, None, None)
+        # operator rule: latest ts first; ties by greatest payload
+        # struct (rid, val) — rid unique so rid decides
+        best = max(cands, key=lambda r: (r[1], (r[2], r[3])))
+        return (best[1], best[2], best[3])
+
+    got = {
+        r["lid"]: (r["ts_r"], r["rid_r"], r["val_r"])
+        for r in asof_join(left, right, on="k").collect()
+    }
+    assert len(got) == len(lrows)
+    for k, ts, lid in lrows:
+        assert got[lid] == expected(k, ts), f"lid={lid} k={k} ts={ts}"
+
+
+def test_pagerank_random_graph_matches_sequential_integer_reference(spark):
+    rng = random.Random(13)
+    nodes = [f"n{i}" for i in range(40)]
+    edges = list(
+        {
+            (rng.choice(nodes), rng.choice(nodes))
+            for _ in range(180)
+        }
+    )
+    edges = [(a, b) for a, b in edges if a != b]
+    from easyner_spark.ops.graph import PR_DAMP_DEN, PR_DAMP_NUM, pagerank
+
+    scale = 10**9
+    iters = 4
+
+    # sequential reference of the exact integer algorithm
+    eset = sorted(set(edges))
+    outdeg: dict[str, int] = {}
+    for a, _ in eset:
+        outdeg[a] = outdeg.get(a, 0) + 1
+    ns = sorted({a for a, _ in eset} | {b for _, b in eset})
+    rank = {n: scale for n in ns}
+    base_term = (PR_DAMP_DEN - PR_DAMP_NUM) * scale // PR_DAMP_DEN
+    for _ in range(iters):
+        s: dict[str, int] = {}
+        for a, b in eset:
+            s[b] = s.get(b, 0) + rank[a] // outdeg[a]
+        rank = {
+            n: base_term + PR_DAMP_NUM * s.get(n, 0) // PR_DAMP_DEN for n in ns
+        }
+
+    df = spark.createDataFrame(edges, "src string, dst string")
+    got = {
+        r["node"]: r["rank_scaled"]
+        for r in pagerank(df, iterations=iters, scale=scale).collect()
+    }
+    assert got == rank
+
+
+def test_canonical_url_is_idempotent_on_messy_corpus(spark):
+    from easyner_spark.ops.web import canonical_url
+    from easyner_spark.queries import urls_df
+
+    u = urls_df(spark, "/root/testdata/sf0.001")
+    once = u.select(canonical_url(F.col("url")).alias("c1"))
+    twice = once.select(
+        "c1", canonical_url(F.col("c1")).alias("c2")
+    ).filter(F.col("c1") != F.col("c2"))
+    assert twice.count() == 0
