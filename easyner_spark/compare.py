@@ -21,8 +21,12 @@ def duck_con(sf_dir: str) -> "duckdb.DuckDBPyConnection":
 
 def _norm_cell(x):
     """Arrays arrive as list (Spark) vs numpy.ndarray (DuckDB) — same
-    values, different str() forms; normalize to tuples before compare."""
-    if isinstance(x, (list, tuple)) or type(x).__name__ == "ndarray":
+    values, different str() forms; normalize to tuples of NATIVE python
+    scalars (ndarray.tolist() — numpy>=2 reprs np.float64(...) inside
+    tuples) before compare."""
+    if type(x).__name__ == "ndarray":
+        x = x.tolist()
+    if isinstance(x, (list, tuple)):
         return tuple(_norm_cell(v) for v in x)
     return x
 

@@ -39,10 +39,17 @@ def asof_join(
     left_ts: str = "ts",
     right_ts: str = "ts",
     suffix: str = "_r",
+    tie_break: bool = True,
 ) -> DataFrame:
     """Backward as-of left join → all left columns + right payload
     columns (everything but the keys) suffixed, NULL when no right row
-    precedes."""
+    precedes.
+
+    ``tie_break=True`` orders tied right rows by their payload struct
+    (deterministic greatest-payload pick) — requires orderable payload
+    types. Pass False for payloads containing maps (not orderable in a
+    window ORDER BY); then the right side must be unique per
+    (keys, ts) for a deterministic result."""
     keys = [on] if isinstance(on, str) else list(on)
     payload = [c for c in right.columns if c not in keys]
     r2 = right.select(
@@ -59,15 +66,14 @@ def asof_join(
         F.struct(*[F.col(c) for c in left.columns]).alias("__l"),
     )
     r2 = r2.withColumn("__l", F.lit(None).cast(l2.schema["__l"].dataType))
+    order = [F.col("__ts").asc(), F.col("__is_r").desc()]
+    if tie_break:
+        # deterministic tie-break among right rows at one ts: the
+        # greatest payload struct wins (last() takes the final one)
+        order.append(F.col("__p").asc_nulls_first())
     w = (
         W.partitionBy(*keys)
-        .orderBy(
-            F.col("__ts").asc(),
-            F.col("__is_r").desc(),
-            # deterministic tie-break among right rows at one ts: the
-            # greatest payload struct wins (last() takes the final one)
-            F.col("__p").asc_nulls_first(),
-        )
+        .orderBy(*order)
         .rowsBetween(W.unboundedPreceding, W.currentRow)
     )
     matched = (

@@ -157,13 +157,13 @@ def triangles(
     wedge join (exact when None; capped mode deliberately ignores
     triangles through hubs — stopword-like entities).
     """
-    u = _undirected(edges, src, dst)
+    # materialize once BEFORE any reuse: the degree computation and the
+    # three-way self-join would otherwise replicate the whole upstream
+    # plan per consumer (a production run reads the already-
+    # materialized edge table instead)
+    u = _undirected(edges, src, dst).localCheckpoint()
     if max_degree is not None:
-        u = _drop_hubs(u, max_degree)
-    # materialize once: the three-way self-join would otherwise
-    # replicate the whole upstream plan per alias (a production run
-    # reads the already-materialized edge table instead)
-    u = u.localCheckpoint()
+        u = _drop_hubs(u, max_degree).localCheckpoint()
     e1, e2, e3 = u.alias("e1"), u.alias("e2"), u.alias("e3")
     tri = (
         e1.join(e2, F.col("e1.b") == F.col("e2.a"))
@@ -205,7 +205,7 @@ def two_hop_reach(
     like entities carry no signal); endpoints are unaffected, exact
     when None.
     """
-    u0 = _undirected(edges, src, dst)
+    u0 = _undirected(edges, src, dst).localCheckpoint()  # upstream once
     adj = (
         u0.select(F.col("a").alias("u"), F.col("b").alias("v"))
         .union(u0.select(F.col("b").alias("u"), F.col("a").alias("v")))

@@ -39,26 +39,33 @@ def canonical_url(url: Column) -> Column:
     u = F.regexp_replace(url, "#.*$", "")
     path = F.regexp_replace(u, "\\?.*$", "")
     q = F.regexp_extract(u, "\\?.*$", 0)
+    # query-only rules: utm params, then a dangling ?/& — never touch
+    # slashes or ampersands inside query VALUES
     q = F.regexp_replace(q, "&utm_[^&]*", "")
     q = F.regexp_replace(q, "^\\?utm_[^&]*&", "?")
     q = F.regexp_replace(q, "^\\?utm_[^&]*$", "")
-    u = F.concat(path, q)
-    sh = F.lower(F.regexp_extract(u, _SCHEME_HOST, 0))
-    rest = F.regexp_replace(u, _SCHEME_HOST, "")
+    q = F.regexp_replace(q, "[?&]$", "")
+    # path-only rule: trailing slash (the path ends where '?' began, so
+    # this also covers the slash-before-query case without a global
+    # '/\\?' rewrite that would corrupt values like ?next=/dir/?x=1)
+    path = F.regexp_replace(path, "/$", "")
+    sh = F.lower(F.regexp_extract(path, _SCHEME_HOST, 0))
+    rest = F.regexp_replace(path, _SCHEME_HOST, "")
+    # scheme-aware default port: parse the port segment exactly (the
+    # digits after the LAST ':') so userinfo colons, IPv6 brackets and
+    # numeric hosts don't confuse a suffix regex, and :8443 never
+    # half-matches :443
+    scheme = F.regexp_extract(sh, "^([a-z][a-z0-9+.-]*)://", 1)
+    port = F.regexp_extract(sh, ":([0-9]+)$", 1)
     sh = (
         F.when(
-            sh.rlike("^https://[^/:?#]+:443$"),
-            F.regexp_replace(sh, ":443$", ""),
-        )
-        .when(
-            sh.rlike("^http://[^/:?#]+:80$"), F.regexp_replace(sh, ":80$", "")
+            ((scheme == "https") & (port == "443"))
+            | ((scheme == "http") & (port == "80")),
+            F.regexp_replace(sh, ":[0-9]+$", ""),
         )
         .otherwise(sh)
     )
-    u = F.concat(sh, rest)
-    u = F.regexp_replace(u, "/\\?", "?")
-    u = F.regexp_replace(u, "/$", "")
-    return F.regexp_replace(u, "[?&]$", "")
+    return F.concat(sh, rest, q)
 
 
 def url_host(url: Column) -> Column:

@@ -852,11 +852,17 @@ def q_events_sessionize(spark, sf_dir):
 SELECT CAST(epoch_us(date_trunc('hour', ts)) AS BIGINT) AS hour_us,
        event_type,
        CAST(count(*) AS BIGINT) AS n,
-       CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS total_value
+       CAST(SUM(CAST(floor(CAST(value AS DOUBLE) * 1e6 + 0.5) AS BIGINT))
+            AS DOUBLE) / 1e6 AS total_value
 FROM events GROUP BY 1, 2
 """,
 )
 def q_events_tumbling_hourly(spark, sf_dir):
+    """Float rule: per-value IEEE quantization to micro-units + exact
+    BIGINT sum + one final division — double→DECIMAL casts round
+    differently between engines at the 6th-decimal boundary (HALF_UP on
+    the decimal string vs binary), so DECIMAL(18,6) is NOT a safe
+    cross-engine recipe for arbitrary doubles."""
     e = _read(spark, sf_dir, "events")
     return (
         e.groupBy(
@@ -864,9 +870,14 @@ def q_events_tumbling_hourly(spark, sf_dir):
         )
         .agg(
             F.count("*").alias("n"),
-            F.sum(F.col("value").cast("decimal(18,6)"))
-            .cast("double")
-            .alias("total_value"),
+            (
+                F.sum(
+                    F.floor(
+                        F.col("value").cast("double") * F.lit(1e6) + F.lit(0.5)
+                    ).cast("bigint")
+                ).cast("double")
+                / F.lit(1e6)
+            ).alias("total_value"),
         )
     )
 
@@ -3057,27 +3068,24 @@ c3 AS (SELECT doc_id, source, n_chars, url, p,
 c4 AS (SELECT doc_id, source, n_chars, url, p,
               regexp_replace(q, '^\\?utm_[^&]*&', '?', 'g') AS q FROM c3),
 c5 AS (SELECT doc_id, source, n_chars, url,
-              p || regexp_replace(q, '^\\?utm_[^&]*$', '', 'g') AS u
+              regexp_replace(p, '/$', '', 'g') AS p,
+              regexp_replace(regexp_replace(q, '^\\?utm_[^&]*$', '', 'g'),
+                             '[?&]$', '', 'g') AS q
        FROM c4),
-c6 AS (SELECT doc_id, source, n_chars, url,
-              lower(regexp_extract(u, '{_SH_RE}', 0)) AS sh,
-              regexp_replace(u, '{_SH_RE}', '', 'g') AS rest FROM c5),
-c7 AS (SELECT doc_id, source, n_chars, url,
-              (CASE WHEN regexp_matches(sh, '^https://[^/:?#]+:443$')
-                    THEN regexp_replace(sh, ':443$', '', 'g')
-                    WHEN regexp_matches(sh, '^http://[^/:?#]+:80$')
-                    THEN regexp_replace(sh, ':80$', '', 'g')
-                    ELSE sh END) || rest AS u
-       FROM c6),
-c8 AS (SELECT doc_id, source, n_chars, url,
-              regexp_replace(regexp_replace(u, '/\\?', '?', 'g'),
-                             '/$', '', 'g') AS u FROM c7),
+c6 AS (SELECT doc_id, source, n_chars, url, q,
+              lower(regexp_extract(p, '{_SH_RE}', 0)) AS sh,
+              regexp_replace(p, '{_SH_RE}', '', 'g') AS rest FROM c5),
 canon AS (
   SELECT doc_id, source, n_chars, url,
-         regexp_replace(u, '[?&]$', '', 'g') AS canon_url,
+         (CASE WHEN (regexp_extract(sh, '^([a-z][a-z0-9+.-]*)://', 1) = 'https'
+                     AND regexp_extract(sh, ':([0-9]+)$', 1) = '443')
+                 OR (regexp_extract(sh, '^([a-z][a-z0-9+.-]*)://', 1) = 'http'
+                     AND regexp_extract(sh, ':([0-9]+)$', 1) = '80')
+               THEN regexp_replace(sh, ':[0-9]+$', '', 'g')
+               ELSE sh END) || rest || q AS canon_url,
          lower(regexp_extract(url,
                '^[A-Za-z][A-Za-z0-9+.-]*://([^/?#:]+)', 1)) AS host
-  FROM c8
+  FROM c6
 )
 """
 
@@ -3339,7 +3347,8 @@ pmax AS (
 ),
 purch AS (
   SELECT p.user_id, p.event_id, p.ts, e.value
-  FROM pmax p JOIN events e ON e.event_id = p.event_id
+  FROM pmax p JOIN events e
+    ON e.event_id = p.event_id AND e.event_type = 'purchase'
 )
 SELECT c.event_id AS click_id,
        c.user_id,
@@ -3372,6 +3381,8 @@ def q_events_asof_purchase(spark, sf_dir):
     pmax = praw.groupBy("user_id", "ts").agg(
         F.max("event_id").alias("event_id")
     )
+    # join back against PURCHASES only (mirrors the oracle's
+    # event_type filter — symmetric even if ids were per-type)
     purch = pmax.join(praw.select("event_id", "value"), "event_id").select(
         "user_id", "event_id", "ts", "value"
     )
@@ -3506,21 +3517,22 @@ def q_doc_length_deciles(spark, sf_dir):
 WITH minute AS (
   SELECT date_trunc('minute', ts) AS b, event_type,
          CAST(count(*) AS BIGINT) AS n,
-         SUM(CAST(value AS DECIMAL(18,6))) AS v
+         CAST(SUM(CAST(floor(CAST(value AS DOUBLE) * 1e6 + 0.5) AS BIGINT))
+              AS BIGINT) AS v
   FROM events GROUP BY 1, 2
 ),
 hour AS (
   SELECT date_trunc('hour', b) AS b, event_type,
-         CAST(SUM(n) AS BIGINT) AS n, SUM(v) AS v
+         CAST(SUM(n) AS BIGINT) AS n, CAST(SUM(v) AS BIGINT) AS v
   FROM minute GROUP BY 1, 2
 ),
 day AS (
   SELECT date_trunc('day', b) AS b, event_type,
-         CAST(SUM(n) AS BIGINT) AS n, SUM(v) AS v
+         CAST(SUM(n) AS BIGINT) AS n, CAST(SUM(v) AS BIGINT) AS v
   FROM hour GROUP BY 1, 2
 )
 SELECT lvl, CAST(epoch_us(b) AS BIGINT) AS bucket_us, event_type, n,
-       CAST(v AS DOUBLE) AS total_value
+       CAST(v AS DOUBLE) / 1e6 AS total_value
 FROM (
   SELECT 'minute' AS lvl, * FROM minute
   UNION ALL SELECT 'hour', * FROM hour
@@ -3533,22 +3545,35 @@ def q_events_rollup_cascade(spark, sf_dir):
     raw events ONCE, hour aggregates from minute partials, day from
     hour — one scan feeds all three granularities (the continuous-
     aggregate pattern; at scale each level materializes and the next
-    reads it instead of raw data). Exact DECIMAL partial sums re-
-    aggregate losslessly — a float sum would drift between levels."""
+    reads it instead of raw data). Partial sums are IEEE-quantized
+    integers (exact, lossless re-aggregation; a float sum would drift
+    between levels, and double→DECIMAL casts disagree between engines
+    at the 6th-decimal boundary)."""
     ev = _read(spark, sf_dir, "events").select(
         F.col("ts").cast("timestamp").alias("ts"),
         "event_type",
-        F.col("value").cast("decimal(18,6)").alias("v"),
+        F.floor(F.col("value").cast("double") * F.lit(1e6) + F.lit(0.5))
+        .cast("bigint")
+        .alias("v"),
     )
     minute = ev.groupBy(
         F.date_trunc("minute", "ts").alias("b"), "event_type"
-    ).agg(F.count("*").cast("bigint").alias("n"), F.sum("v").alias("v"))
+    ).agg(
+        F.count("*").cast("bigint").alias("n"),
+        F.sum("v").cast("bigint").alias("v"),
+    )
     hour = minute.groupBy(
         F.date_trunc("hour", "b").alias("b"), "event_type"
-    ).agg(F.sum("n").cast("bigint").alias("n"), F.sum("v").alias("v"))
+    ).agg(
+        F.sum("n").cast("bigint").alias("n"),
+        F.sum("v").cast("bigint").alias("v"),
+    )
     day = hour.groupBy(
         F.date_trunc("day", "b").alias("b"), "event_type"
-    ).agg(F.sum("n").cast("bigint").alias("n"), F.sum("v").alias("v"))
+    ).agg(
+        F.sum("n").cast("bigint").alias("n"),
+        F.sum("v").cast("bigint").alias("v"),
+    )
 
     def lvl(df, name):
         return df.select(
@@ -3556,7 +3581,7 @@ def q_events_rollup_cascade(spark, sf_dir):
             F.unix_micros("b").alias("bucket_us"),
             "event_type",
             "n",
-            F.col("v").cast("double").alias("total_value"),
+            (F.col("v").cast("double") / F.lit(1e6)).alias("total_value"),
         )
 
     return lvl(minute, "minute").unionByName(lvl(hour, "hour")).unionByName(

@@ -173,3 +173,16 @@ def test_degree_caps_drop_hub_paths(spark):
     # E-C-H survives (mid C has degree 2), both directions
     assert capped2 == {"E": 1, "H": 1}
     # A's only 2-hop paths ran through H (to C, D) — gone under the cap
+
+
+def test_asof_join_map_payload_with_tie_break_off(spark):
+    """Map-typed payloads are not window-orderable; tie_break=False
+    keeps the operator usable (right side unique per key/ts)."""
+    from easyner_spark.ops.asof import asof_join
+
+    left = spark.createDataFrame([(1, 10, "l")], "k int, ts int, lid string")
+    right = spark.createDataFrame(
+        [(1, 5, {"a": "1"})], "k int, ts int, props map<string,string>"
+    )
+    row = asof_join(left, right, on="k", tie_break=False).collect()[0]
+    assert row["props_r"] == {"a": "1"}

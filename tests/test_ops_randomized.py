@@ -3,9 +3,12 @@ sequential Python reference on adversarial random inputs (one Spark job
 per sweep — deterministic seed, not hypothesis, so runtime stays flat).
 """
 
+import os
 import random
 
 from pyspark.sql import functions as F
+
+SF_DIR = os.environ.get("SPARK_GRAFT_TEST_SF", "/root/testdata/sf0.001")
 
 
 def test_interval_join_random_sweep_matches_naive(spark):
@@ -113,7 +116,7 @@ def test_canonical_url_is_idempotent_on_messy_corpus(spark):
     from easyner_spark.ops.web import canonical_url
     from easyner_spark.queries import urls_df
 
-    u = urls_df(spark, "/root/testdata/sf0.001")
+    u = urls_df(spark, SF_DIR)
     once = u.select(canonical_url(F.col("url")).alias("c1"))
     twice = once.select(
         "c1", canonical_url(F.col("c1")).alias("c2")

@@ -30,6 +30,13 @@ CASES = [
     ("https://a.org:80/x", "https://a.org:80/x"),
     # utm param whose VALUE is in the path-lookalike form
     ("https://a.org/p?utm_x=a/b&id=1", "https://a.org/p?id=1"),
+    # slashes inside query VALUES survive (no global /? or /$ rewrite)
+    ("https://a.org/p?next=/dir/?x=1", "https://a.org/p?next=/dir/?x=1"),
+    ("https://a.org/p?x=a/", "https://a.org/p?x=a/"),
+    # port parsing: userinfo colons, IP hosts, :8443 half-match trap
+    ("https://user:pw@a.org:443/x", "https://user:pw@a.org/x"),
+    ("https://1.2.3.4:443/x", "https://1.2.3.4/x"),
+    ("https://a.org:8443/x", "https://a.org:8443/x"),
 ]
 
 
