@@ -3587,3 +3587,37 @@ def q_events_rollup_cascade(spark, sf_dir):
     return lvl(minute, "minute").unionByName(lvl(hour, "hour")).unionByName(
         lvl(day, "day")
     )
+
+
+@register(
+    "kg_sql_surface",
+    _TOKS_CTE
+    + """
+SELECT batch_id, token, n, rnk FROM (
+  SELECT batch_id, token, CAST(count(*) AS BIGINT) AS n,
+         CAST(ROW_NUMBER() OVER (PARTITION BY batch_id
+                                 ORDER BY count(*) DESC, token) AS BIGINT)
+           AS rnk
+  FROM toks GROUP BY batch_id, token
+) t WHERE rnk <= 5
+""",
+)
+def q_kg_sql_surface(spark, sf_dir):
+    """The SQL entry point: the same engine consumed through
+    spark.sql() over a registered view — users of the reference run
+    ad-hoc questions, and the Spark-first design means ANSI SQL against
+    the stage tables IS the query API (Catalyst plans it identically to
+    the DataFrame chain: partitioned window, map-side-partial agg,
+    pushed filter)."""
+    tokens(spark, sf_dir).createOrReplaceTempView("kg_toks_v")
+    return spark.sql(
+        """
+        SELECT batch_id, token, n, rnk FROM (
+          SELECT batch_id, token, CAST(count(*) AS BIGINT) AS n,
+                 CAST(ROW_NUMBER() OVER (PARTITION BY batch_id
+                                         ORDER BY count(*) DESC, token)
+                      AS BIGINT) AS rnk
+          FROM kg_toks_v GROUP BY batch_id, token
+        ) t WHERE rnk <= 5
+        """
+    )
