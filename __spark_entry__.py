@@ -3,7 +3,7 @@
 ``entry(spark)`` runs the flagship KG query (co-occurrence triple
 ranking over the documents table) at sf0.001. ``queries()`` /
 ``oracle_sql()`` expose every implemented operator from SURVEY.md §2
-plus the training-data-pipeline operators; all 71 entries have DuckDB
+plus the training-data-pipeline operators; every entry has a DuckDB
 oracles (including the iterative connected-components algorithm,
 checked against a recursive-CTE closure, and the real engine UDF paths
 cross-checked against pure SQL) and are verified bit-for-bit in

@@ -68,9 +68,16 @@ def canonical_url(url: Column) -> Column:
     return F.concat(sh, rest, q)
 
 
+_HOST_RE = (
+    "^[A-Za-z][A-Za-z0-9+.-]*://(?:[^/?#@]*@)?(\\[[^\\]]*\\]|[^/?#:@]+)"
+)
+
+
 def url_host(url: Column) -> Column:
-    """Lowercased hostname (authority without port)."""
-    return F.lower(F.regexp_extract(url, "^[A-Za-z][A-Za-z0-9+.-]*://([^/?#:]+)", 1))
+    """Lowercased hostname: userinfo stripped (``user:pw@`` would
+    otherwise satisfy a naive up-to-colon match), IPv6 bracket literals
+    returned whole, port excluded."""
+    return F.lower(F.regexp_extract(url, _HOST_RE, 1))
 
 
 def registered_domain(host: Column) -> Column:

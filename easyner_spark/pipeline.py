@@ -82,6 +82,12 @@ def run_pipeline(
             "rows_committed": rows,
             "batches_committed": len(snap.get("counters", {})),
         }
+        if not cat.committed_batches(name):
+            # empty stage (e.g. gazetteer matched nothing): no manifest
+            # exists to read back — keep the (empty) frame flowing so
+            # downstream stages run and report zeros instead of a
+            # PATH_NOT_FOUND crash
+            return df
         return cat.read_stage(spark, name)
 
     def need(name: str, for_stage: str) -> DataFrame:
@@ -151,7 +157,12 @@ def run_pipeline(
             cooccurrence_triples(linked, sents, max_mentions_per_sentence=triples_cap),
         )
 
-    if "graph" in want:
+    if "graph" in want and not cat.committed_batches("triples") and "triples" in want:
+        # the triples stage ran in THIS invocation and produced zero
+        # rows (empty corpus / no co-occurrences) — an empty graph is a
+        # report note, not a "run --stages triples first" error
+        report["graph"] = {"skipped": "triples stage committed no rows"}
+    elif "graph" in want:
         # north-star output: the queryable graph tables, partitioned by
         # a stable hash of the node key (same batch_id discipline as
         # every other stage — co-partitioned for neighbor expansion)

@@ -2557,16 +2557,24 @@ def q_kg_graph_nodes(spark, sf_dir):
     aggregates over the triples view; at scale each is a map-side-
     partial hash agg keyed by ent_id (the same key the edge table
     shuffles on, so a real deployment co-partitions them)."""
-    lk = linked(spark, sf_dir)
+    # materialize linked once (three consumers: both self-join sides +
+    # names) and the pair table once (outd + ind) — Catalyst does not
+    # dedupe identical logical subtrees, so without this the upstream
+    # pipeline executes multiple times (same fix as kg_triple_counts)
+    lk = linked(spark, sf_dir).localCheckpoint()
     a, b = lk.alias("a"), lk.alias("b")
-    triples = a.join(
-        b,
-        (F.col("a.doc_id") == F.col("b.doc_id"))
-        & (F.col("a.sent_idx") == F.col("b.sent_idx"))
-        & (F.col("a.pos") < F.col("b.pos")),
-    ).select(
-        F.col("a.ent_id").alias("subj_id"),
-        F.col("b.ent_id").alias("obj_id"),
+    triples = (
+        a.join(
+            b,
+            (F.col("a.doc_id") == F.col("b.doc_id"))
+            & (F.col("a.sent_idx") == F.col("b.sent_idx"))
+            & (F.col("a.pos") < F.col("b.pos")),
+        )
+        .select(
+            F.col("a.ent_id").alias("subj_id"),
+            F.col("b.ent_id").alias("obj_id"),
+        )
+        .localCheckpoint()
     )
     outd = triples.groupBy(F.col("subj_id").alias("ent_id")).agg(
         F.count("*").alias("out_degree"),
@@ -3084,7 +3092,8 @@ canon AS (
                THEN regexp_replace(sh, ':[0-9]+$', '', 'g')
                ELSE sh END) || rest || q AS canon_url,
          lower(regexp_extract(url,
-               '^[A-Za-z][A-Za-z0-9+.-]*://([^/?#:]+)', 1)) AS host
+               '^[A-Za-z][A-Za-z0-9+.-]*://(?:[^/?#@]*@)?(\\[[^\\]]*\\]|[^/?#:@]+)',
+               1)) AS host
   FROM c6
 )
 """

@@ -88,20 +88,22 @@ def link_entities(
         .distinct()
         .join(F.broadcast(lk.select(F.col("entity").alias("surface"))), "surface", "left_anti")
     )
-    # persist the ranked misses: this tiny (distinct-surface-bounded)
-    # frame fans out into THREE consumers (offset agg, linked join,
-    # new_entities) — without a cache each consumer re-executes the
+    # materialize the ranked misses once: this tiny (distinct-surface-
+    # bounded) frame fans out into THREE consumers (offset agg, linked
+    # join, new_entities) — without it each consumer re-executes the
     # entire upstream plan (extract→split→NER UDF chain) to re-derive
     # it, which measured as ~3× the NER stage cost in the fused DAG.
-    # Spark evicts it LRU; callers needing strict lifecycle control can
-    # checkpoint mentions first.
+    # localCheckpoint (not persist): checkpoint blocks are released by
+    # the ContextCleaner when the frame becomes unreachable, whereas a
+    # persist() pins CacheManager entries for the session lifetime —
+    # a storage-memory leak across the 72-query driver session.
     misses = (
         _dense_rank_by(miss_surfaces, "surface", "_rnk")
         .withColumn(
             "mint_id", F.concat(F.lit(mint_prefix), F.col("_rnk").cast("string"))
         )
         .drop("_rnk")
-        .persist()
+        .localCheckpoint()
     )
     new_entities = misses.select(
         F.col("surface").alias("entity"),

@@ -113,6 +113,12 @@ def read_documents_epochs(spark: SparkSession, warehouse: str) -> DataFrame:
             or (m := _re.match(r"documents_epoch(\d{6,})(?=\._manifest\.json$)", f))
         }
     )
+    # manifest gate: a crash between the parquet write and the manifest
+    # swap leaves a data directory with NO committed batches — reading
+    # it would serve uncommitted rows AND (being the highest epoch)
+    # shadow committed older crawls under latest-epoch-wins. Only
+    # epochs with at least one committed batch are snapshots.
+    names = [n for n in names if cat.committed_batches(n)]
     if not names:
         raise ValueError(f"no documents_epoch* stages committed in {warehouse}")
     parts = [

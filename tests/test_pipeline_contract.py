@@ -234,3 +234,23 @@ def test_graph_stage_materializes_consistent_tables(spark, tmp_path):
     assert {r["node"] for r in prows} <= node_set
     assert all(r["rank_scaled"] > 0 for r in prows)
     assert sum(r["rank_scaled"] for r in prows) <= len(prows) * PR_SCALE
+
+
+def test_graph_stage_skips_cleanly_on_empty_triples(spark, tmp_path):
+    """A default run whose corpus yields no mentions must not tell the
+    operator to re-run a stage that just ran — the graph stage records
+    a skip note instead."""
+    from easyner_spark.corpus import pages_df
+    from easyner_spark.pipeline import run_pipeline
+
+    wh = str(tmp_path / "wh_empty")
+    report = run_pipeline(
+        spark,
+        pages_df(spark, n_docs=20),
+        wh,
+        n_batches=2,
+        gazetteer={"zzz-not-in-corpus": "disease"},
+        canonicalize=False,
+    )
+    assert report["graph"] == {"skipped": "triples stage committed no rows"}
+    assert report["_totals"]["triples"] is None
