@@ -33,12 +33,20 @@ def entity_frequency(
     key: str = "surface",
     with_sets: bool = True,
     extra_first: dict[str, str] | None = None,
+    approx_distinct: bool = False,
 ) -> DataFrame:
     """Per-``key`` frequency table, ranked by total_count desc.
 
     ``extra_first`` maps output-column → input-column taken with
     ``first(...)`` per key (used for the id-level table's ``name``,
     analysis.py:72-75).
+
+    ``approx_distinct`` (with_sets=False mode only): articles_spanned
+    via HyperLogLog++ (``approx_count_distinct``, default rsd 5%)
+    instead of the exact countDistinct — the 10^12-row variant. The
+    sketch merges map-side (one pass, fixed memory per key), while
+    exact countDistinct internally expands to a (key, doc_id)-distinct
+    shuffle; rankings by total_count are unaffected either way.
     """
     per_batch = (
         mentions.groupBy(key, "batch_id")
@@ -78,8 +86,15 @@ def entity_frequency(
     if with_sets:
         out = out.withColumn("articles_spanned", F.size("_doc_arr"))
     else:
-        # exact distinct across batches needs a dedicated countDistinct pass
-        nd = mentions.groupBy(key).agg(F.countDistinct("doc_id").alias("articles_spanned"))
+        # distinct across batches needs a dedicated pass: exact
+        # countDistinct, or the HLL++ sketch at extreme scale
+        nd = mentions.groupBy(key).agg(
+            (
+                F.approx_count_distinct("doc_id")
+                if approx_distinct
+                else F.countDistinct("doc_id")
+            ).alias("articles_spanned")
+        )
         out = out.join(nd, key)
 
     out = (

@@ -254,3 +254,33 @@ def test_graph_stage_skips_cleanly_on_empty_triples(spark, tmp_path):
     )
     assert report["graph"] == {"skipped": "triples stage committed no rows"}
     assert report["_totals"]["triples"] is None
+
+
+def test_entity_frequency_approx_distinct_within_tolerance(spark):
+    """The HLL++ 10^12-row variant: articles_spanned within the sketch's
+    5% rsd of exact, identical total_count ranking."""
+    from easyner_spark.corpus import GAZETTEER, pages_df
+    from easyner_spark.stages.analysis import entity_frequency
+    from easyner_spark.stages.extract import extract_documents
+    from easyner_spark.stages.ner_dict import dict_ner
+    from easyner_spark.stages.split import split_documents
+
+    m = dict_ner(
+        split_documents(extract_documents(pages_df(spark, n_docs=300), n_batches=8)),
+        GAZETTEER,
+    )
+    exact = {
+        r["surface"]: (r["total_count"], r["articles_spanned"])
+        for r in entity_frequency(m, with_sets=False).collect()
+    }
+    approx = {
+        r["surface"]: (r["total_count"], r["articles_spanned"])
+        for r in entity_frequency(
+            m, with_sets=False, approx_distinct=True
+        ).collect()
+    }
+    assert set(exact) == set(approx)
+    for s, (tc, nd) in exact.items():
+        atc, and_ = approx[s]
+        assert atc == tc  # counts stay exact — only the distinct is sketched
+        assert abs(and_ - nd) <= max(2, 0.1 * nd), (s, nd, and_)
