@@ -35,6 +35,7 @@ def read_page_stream(
     input_dir: str,
     watermark: str = "10 minutes",
     max_files_per_trigger: int | None = None,
+    canonicalize_urls: bool = False,
 ) -> DataFrame:
     """File-source stream of pages with watermarked url-dedup.
 
@@ -42,11 +43,21 @@ def read_page_stream(
     state bounded — late re-crawls beyond the watermark age are
     accepted as new versions (documented divergence from unbounded
     exact dedup, which cannot exist at 10^12 docs).
+
+    ``canonicalize_urls`` (opt-in, web deployments): rewrite ``url``
+    with ops/web.py:canonical_url BEFORE dedup, so tracking-param /
+    casing / port / slash variants of one page share a dedup key and a
+    doc_id. Off by default: the batch contract is byte-identical text
+    per RAW url, and canonicalization changes doc_id = sha2(url).
     """
     reader = spark.readStream.schema(PAGES_SCHEMA)
     if max_files_per_trigger:
         reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
     raw = reader.parquet(input_dir)
+    if canonicalize_urls:
+        from ..ops.web import canonical_url
+
+        raw = raw.withColumn("url", canonical_url(F.col("url")))
     return raw.withWatermark("warc_ts", watermark).dropDuplicates(["url", "warc_ts"])
 
 
@@ -57,12 +68,13 @@ def start_ingest(
     checkpoint_dir: str,
     n_batches: int = 64,
     lang_filter: str | None = "en",
+    canonicalize_urls: bool = False,
 ):
     """Continuous pages→documents ingest; exactly-once via foreachBatch
     into the partition-idempotent catalog. Returns the StreamingQuery
     (caller drives trigger/stop; tests use processAllAvailable())."""
     cat = CheckpointCatalog(warehouse)
-    pages = read_page_stream(spark, input_dir)
+    pages = read_page_stream(spark, input_dir, canonicalize_urls=canonicalize_urls)
 
     def sink(batch_df: DataFrame, epoch_id: int) -> None:
         # the stream dedups on (url, warc_ts) — a re-crawled url with a

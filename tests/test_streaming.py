@@ -106,3 +106,33 @@ def test_streaming_windowed_entity_counts(spark, dirs):
     # and the sink table exists with the right schema
     cols = set(spark.sql("SELECT * FROM win_counts").columns)
     assert cols == {"window", "surface", "n"}
+
+
+def test_stream_canonical_url_dedup(spark, dirs):
+    """canonicalize_urls=True: tracking-param/case/slash variants of one
+    page share a dedup key (and thus one doc_id downstream); raw mode
+    keeps them distinct."""
+    pdf = make_pages_pdf(n_docs=4)
+    variants = pdf.iloc[:2].copy()
+    # same pages re-crawled at the SAME warc_ts under messy url variants
+    variants["url"] = [
+        variants["url"].iloc[0] + "?utm_source=feed",
+        variants["url"].iloc[1] + "/",
+    ]
+    _write_pages(spark, pdf.iloc[:2], dirs["in"])
+    _write_pages(spark, variants, dirs["in"])
+
+    stream = read_page_stream(spark, dirs["in"], canonicalize_urls=True)
+    q = (
+        stream.writeStream.format("memory")
+        .queryName("canon_out")
+        .option("checkpointLocation", dirs["ckpt"])
+        .outputMode("append")
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+    rows = spark.sql("SELECT url FROM canon_out").collect()
+    # 2 canonical pages, not 4 raw variants — and no utm/trailing-slash
+    assert len(rows) == 2
+    assert all("utm_" not in r["url"] and not r["url"].endswith("/") for r in rows)
