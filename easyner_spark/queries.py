@@ -3630,3 +3630,49 @@ def q_kg_sql_surface(spark, sf_dir):
         ) t WHERE rnk <= 5
         """
     )
+
+
+@register(
+    "doc_rarity_idf",
+    _TOKS_CTE
+    + """,
+vocab AS (
+  SELECT token, CAST(count(*) AS BIGINT) AS cnt FROM toks GROUP BY token
+),
+corpus AS (SELECT CAST(count(*) AS BIGINT) AS total FROM toks)
+SELECT t.doc_id,
+       CAST(count(*) AS BIGINT) AS n_tokens,
+       CAST(SUM(c.total // v.cnt) AS BIGINT) AS rarity_sum,
+       CAST(CAST(SUM(c.total // v.cnt) AS DOUBLE)
+            / count(*) AS DOUBLE) AS rarity_per_token
+FROM toks t JOIN vocab v ON t.token = v.token CROSS JOIN corpus c
+GROUP BY t.doc_id
+""",
+)
+def q_doc_rarity_idf(spark, sf_dir):
+    """Lexical-rarity quality signal: per document, the sum of inverse
+    corpus frequencies (total div cnt — the integer-exact IDF stand-in;
+    no log(), whose last-ulp differs between libm implementations).
+    Rare-word-dense documents score high, boilerplate scores low — the
+    KenLM-perplexity stand-in a curation pipeline thresholds on. Plan:
+    tokens join a broadcast vocabulary dimension (|vocab| rows), one
+    map-side-partial agg per doc; corpus total is a scalar broadcast."""
+    t = tokens(spark, sf_dir)
+    vocab = t.groupBy("token").agg(F.count("*").alias("cnt"))
+    total = t.count()  # scalar: embedded as a literal on both engines
+    return (
+        t.join(F.broadcast(vocab), "token")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").cast("bigint").alias("n_tokens"),
+            F.sum(F.expr(f"{total} div cnt")).cast("bigint").alias("rarity_sum"),
+        )
+        .select(
+            "doc_id",
+            "n_tokens",
+            "rarity_sum",
+            (F.col("rarity_sum").cast("double") / F.col("n_tokens").cast("double"))
+            .cast("double")
+            .alias("rarity_per_token"),
+        )
+    )
