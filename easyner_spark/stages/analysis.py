@@ -48,15 +48,19 @@ def entity_frequency(
     exact countDistinct internally expands to a (key, doc_id)-distinct
     shuffle; rankings by total_count are unaffected either way.
     """
+    if approx_distinct and with_sets:
+        raise ValueError(
+            "approx_distinct requires with_sets=False — the with_sets "
+            "mode materializes exact per-key doc_id sets, which is the "
+            "unbounded-state path the sketch exists to avoid"
+        )
     per_batch = (
         mentions.groupBy(key, "batch_id")
         .agg(
             F.count("*").alias("cnt"),
-            *(
-                [F.collect_set("doc_id").alias("doc_set")]
-                if with_sets
-                else [F.countDistinct("doc_id").alias("n_docs")]
-            ),
+            # (with_sets=False needs nothing extra here: the distinct
+            # count comes from a dedicated pass below)
+            *([F.collect_set("doc_id").alias("doc_set")] if with_sets else []),
             *[
                 F.first(src).alias(f"_fx_{dst}")
                 for dst, src in (extra_first or {}).items()

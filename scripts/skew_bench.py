@@ -13,7 +13,10 @@ family holding ``--hot-frac`` of all rows plus a uniform tail — and
 measures candidate-pair counts and wall time with salting off
 (max_bucket = table size) vs on (max_bucket 256). Prints one JSON line.
 
-Usage: python scripts/skew_bench.py [--n 200000] [--hot-frac 0.3]
+Usage: python scripts/skew_bench.py [--n 20000] [--hot-frac 0.3]
+       [--max-bucket 256]
+(NOTE: the unsalted pass is quadratic in n*hot_frac — 20k is ~19 s on
+this VM; 200k would be a multi-hour blow-up.)
 """
 
 from __future__ import annotations
