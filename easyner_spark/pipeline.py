@@ -47,6 +47,7 @@ def run_pipeline(
     stages: set[str] | None = None,
     resolve_single_run_conflicts: bool = False,
     analysis_sets: bool = False,
+    analysis_approx: bool = False,
     triples_cap: int | None = None,
 ) -> dict:
     """Execute (and checkpoint) the full chain; returns the lineage
@@ -212,13 +213,15 @@ def run_pipeline(
         # doc_id arrays (unbounded for stopword-like surfaces at web
         # scale); counts stay exact. The contract/test path opts back in
         # via analysis_sets=True.
-        freq = entity_frequency(mentions, with_sets=analysis_sets).withColumn(
+        freq = entity_frequency(
+            mentions, with_sets=analysis_sets, approx_distinct=analysis_approx
+        ).withColumn(
             "batch_id", F.lit(0)
         )  # aggregate table: single logical partition
         cat.write_stage(freq.drop("batch_count"), "entity_frequency")
-        idf = id_frequency(linked, with_sets=analysis_sets).withColumn(
-            "batch_id", F.lit(0)
-        )
+        idf = id_frequency(
+            linked, with_sets=analysis_sets, approx_distinct=analysis_approx
+        ).withColumn("batch_id", F.lit(0))
         cat.write_stage(idf.drop("batch_count"), "id_frequency")
         report["analysis"] = {"done": True}
 
@@ -264,6 +267,13 @@ def main() -> None:
         help="emit the reference's articles_set column (bounded/test "
         "corpora only — unbounded per-surface arrays at web scale)",
     )
+    ap.add_argument(
+        "--analysis-approx",
+        action="store_true",
+        help="articles_spanned via HyperLogLog++ instead of exact "
+        "countDistinct (the 10^12-row mode; incompatible with "
+        "--analysis-sets)",
+    )
     args = ap.parse_args()
 
     from .session import get_spark
@@ -282,6 +292,7 @@ def main() -> None:
         canonicalize=not args.no_canonical,
         stages=set(args.stages.split(",")) if args.stages else None,
         analysis_sets=args.analysis_sets,
+        analysis_approx=args.analysis_approx,
         triples_cap=args.triples_cap,
     )
     print(json.dumps(report, indent=2, default=str))

@@ -124,7 +124,9 @@ def entity_frequency(
     return out.select(*cols).orderBy(F.desc("total_count"), key)
 
 
-def id_frequency(linked: DataFrame, with_sets: bool = True) -> DataFrame:
+def id_frequency(
+    linked: DataFrame, with_sets: bool = True, approx_distinct: bool = False
+) -> DataFrame:
     """Id-level table (analysis.py:68-89,110-120): keyed by ent_id with
     canonical name and the distinct surfaces seen for the id.
 
@@ -138,7 +140,11 @@ def id_frequency(linked: DataFrame, with_sets: bool = True) -> DataFrame:
         )
     )
     base = entity_frequency(
-        linked, key="ent_id", with_sets=with_sets, extra_first={"name": "ent_name"}
+        linked,
+        key="ent_id",
+        with_sets=with_sets,
+        extra_first={"name": "ent_name"},
+        approx_distinct=approx_distinct,
     )
     return base.join(F.broadcast(surf), "ent_id").orderBy(
         F.desc("total_count"), "ent_id"
