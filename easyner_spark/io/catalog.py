@@ -114,9 +114,19 @@ class CheckpointCatalog:
         stage: str,
         partition_col: str = "batch_id",
         resume_mode: str = "verify_counts",
+        allow_empty: bool = False,
     ) -> dict:
         """Commit all pending partitions of ``df``; returns the snapshot
         entry ({} if everything was already committed).
+
+        ``allow_empty``: by default a fully-empty incoming frame is
+        treated as a caller bug and ignored (the stage keeps serving
+        its committed rows; the return dict carries
+        ``{"stale_empty_input": True}`` so the caller can tell). For
+        stages whose row set can legitimately shrink to zero on re-run
+        (e.g. a minted-entity dimension once every surface resolves),
+        pass ``allow_empty=True`` — an empty frame then retracts every
+        committed batch, and ``read_stage`` serves zero rows.
 
         Resume modes — "partition committed" is not "partition
         complete" when the INPUT can grow (batch_id is a hash of the
@@ -166,21 +176,27 @@ class CheckpointCatalog:
             changed = sorted(
                 b for b, (n, h, s) in incoming.items() if not _same(b, n, h, s)
             )
-            # retract committed batches absent from a NON-EMPTY incoming
-            # frame (input shrank): delete their partition dirs and
-            # tombstone them, else read_stage serves deleted rows
-            # forever. A fully-empty incoming frame is treated as a
-            # caller bug (no-op), not a total wipe.
+            # retract committed batches absent from the incoming frame
+            # (input shrank): delete their partition dirs and tombstone
+            # them, else read_stage serves deleted rows forever. A
+            # fully-empty incoming frame only wipes the stage under the
+            # explicit allow_empty opt-in; otherwise it is treated as a
+            # caller bug (no-op, flagged in the returned snapshot).
             vanished = sorted(
                 b
                 for b, c in committed.items()
-                if incoming
+                if (incoming or allow_empty)
                 and b not in incoming
                 and c.get("rows", 0) > 0
                 and not c.get("retracted")
             )
             if vanished:
                 self._retract_batches(stage, vanished, partition_col)
+            if not incoming and not allow_empty and any(
+                c.get("rows", 0) > 0 and not c.get("retracted")
+                for c in committed.values()
+            ):
+                return {"stale_empty_input": True}
             if not changed:
                 return {"retracted": vanished} if vanished else {}
             pending = df.filter(F.col(partition_col).isin(changed))
@@ -226,12 +242,23 @@ class CheckpointCatalog:
             "counters": {str(k): v for k, v in counters.items()},
         }
         man["snapshots"].append(snap)
+        # recorded so read_stage can serve a typed EMPTY frame after a
+        # full retraction (no data files left to infer a schema from)
+        man["schema"] = pending.schema.json()
         self._store_manifest(stage, man)
         return snap
 
     def read_stage(self, spark: SparkSession, stage: str) -> DataFrame:
-        df = spark.read.parquet(self._stage_dir(stage))
         done = self.committed_batches(stage)
+        if not done:
+            schema_json = self._load_manifest(stage).get("schema")
+            if schema_json is not None:
+                from pyspark.sql.types import StructType
+
+                return spark.createDataFrame(
+                    [], StructType.fromJson(json.loads(schema_json))
+                )
+        df = spark.read.parquet(self._stage_dir(stage))
         # only committed partitions are visible (a crashed write's orphan
         # partition directories are filtered out = snapshot isolation)
         return df.filter(F.col("batch_id").isin(*sorted(done))) if done else df

@@ -52,6 +52,20 @@ def asof_join(
     (keys, ts) for a deterministic result."""
     keys = [on] if isinstance(on, str) else list(on)
     payload = [c for c in right.columns if c not in keys]
+    # the internal tag/window columns and the suffixed outputs must not
+    # collide with caller columns — a left frame already holding "__ts"
+    # (or a right payload name that suffixes onto an existing left
+    # column) would silently produce wrong or ambiguous output
+    reserved = {"__ts", "__is_r", "__p", "__l", "__m"}
+    clash = reserved & (set(left.columns) | set(right.columns))
+    if clash:
+        raise ValueError(f"asof_join: reserved column name(s) in input: {sorted(clash)}")
+    out_clash = {c + suffix for c in payload} & set(left.columns)
+    if out_clash:
+        raise ValueError(
+            f"asof_join: suffixed right column(s) collide with left columns: "
+            f"{sorted(out_clash)}; pass a different suffix"
+        )
     r2 = right.select(
         *keys,
         F.col(right_ts).alias("__ts"),

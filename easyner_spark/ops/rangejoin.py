@@ -43,6 +43,18 @@ def interval_join(
     keys = [on] if isinstance(on, str) else list(on)
     ls, le = left_bounds
     rs, re_ = right_bounds
+    # guard the internal bin column and the suffixed right outputs
+    # against caller-column collisions (silent wrong output otherwise)
+    if "__bin" in left.columns or "__bin" in right.columns:
+        raise ValueError("interval_join: reserved column name '__bin' in input")
+    out_clash = {
+        c + suffix for c in right.columns if c not in keys
+    } & set(left.columns)
+    if out_clash:
+        raise ValueError(
+            f"interval_join: suffixed right column(s) collide with left "
+            f"columns: {sorted(out_clash)}; pass a different suffix"
+        )
 
     def binned(df: DataFrame, s: str, e: str) -> DataFrame:
         # exact integer division (bounds must be non-negative integers —

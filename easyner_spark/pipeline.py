@@ -132,8 +132,13 @@ def run_pipeline(
         linked, new_ents = link_entities(mentions, lookup)
         linked = commit("linked", linked)
         # U1: merge the minted dimension back (idempotent upsert analog)
+        # allow_empty: once every surface resolves against the lookup,
+        # the minted dimension legitimately shrinks to zero rows — the
+        # re-run must retract the stale mints, not keep serving them
         cat.write_stage(
-            new_ents.withColumn("batch_id", F.lit(0)), "nel_new_entities"
+            new_ents.withColumn("batch_id", F.lit(0)),
+            "nel_new_entities",
+            allow_empty=True,
         )
     elif {"canonical", "triples", "analysis"} & want:
         linked = need("linked", "canonical/triples/analysis")

@@ -340,6 +340,49 @@ def q_kg_new_entities(spark, sf_dir):
     return new
 
 
+def _two_phase_rank(agg, count_col, tie_cols, out="rnk"):
+    """Global RANK() over (count_col DESC, tie_cols) without a global
+    sort. Requirement: (count_col, *tie_cols) is unique per row, so
+    RANK == bucket-local row_number + rows-in-higher-buckets. The big
+    table windows hash-partitioned BY count_col; only the per-bucket
+    count table (|distinct counts| rows — Zipf-bounded) crosses a
+    single partition for the offset prefix-sum. Same pattern as the
+    NEL mint (stages/nel.py:_dense_rank_by), numeric leading key.
+
+    The input aggregate is localCheckpoint-ed: rank side and offset
+    side both consume it, and Catalyst does not dedupe the two logical
+    subtrees (no ReusedExchange across a multi-consumer fan-out) —
+    without this the upstream pipeline executes twice. Offsets derive
+    from the windowed side so both consumers share the
+    exchange-on-count_col subplan (ReusedExchange)."""
+    agg = agg.localCheckpoint()
+    local = agg.withColumn(
+        "_r",
+        F.row_number().over(W.partitionBy(count_col).orderBy(*tie_cols)),
+    )
+    offsets = (
+        local.groupBy(count_col)
+        .agg(F.count("*").alias("_n"))
+        .withColumn(
+            "_off",
+            F.coalesce(
+                F.sum("_n").over(
+                    W.orderBy(F.desc(count_col)).rowsBetween(
+                        W.unboundedPreceding, -1
+                    )
+                ),
+                F.lit(0),
+            ),
+        )
+        .select(count_col, "_off")
+    )
+    return (
+        local.join(F.broadcast(offsets), count_col)
+        .withColumn(out, (F.col("_off") + F.col("_r")).cast("bigint"))
+        .drop("_r", "_off")
+    )
+
+
 @register(
     "kg_entity_frequency",
     _MENTIONS_CTE
@@ -366,7 +409,10 @@ def q_kg_entity_frequency(spark, sf_dir):
             F.array_sort(F.collect_set(F.col("batch_id").cast("string"))), "; "
         ).alias("batch_set"),
     )
-    return agg.select(
+    # (total_count DESC, surface) is a unique total order (surface is
+    # the group key), so RANK == the two-phase bucketed row_number —
+    # no global single-partition window (the round-2 weak item).
+    return _two_phase_rank(agg, "total_count", ["surface"]).select(
         "surface",
         "total_count",
         "articles_spanned",
@@ -378,10 +424,7 @@ def q_kg_entity_frequency(spark, sf_dir):
             F.col("total_count").cast("double") / F.col("batches_spanned"), 6
         ).alias("freq_per_batch"),
         "batch_set",
-        F.rank()
-        .over(W.orderBy(F.desc("total_count"), "surface"))
-        .cast("bigint")
-        .alias("rnk"),
+        "rnk",
     )
 
 
@@ -409,9 +452,10 @@ def q_kg_id_frequency(spark, sf_dir):
         F.count("*").alias("total_count"),
         F.countDistinct("doc_id").alias("articles_spanned"),
     )
-    return agg.withColumn(
-        "rnk",
-        F.rank().over(W.orderBy(F.desc("total_count"), "ent_id")).cast("bigint"),
+    # (total_count DESC, ent_id) is unique per row — two-phase bucketed
+    # rank, same reasoning as kg_entity_frequency.
+    return _two_phase_rank(agg, "total_count", ["ent_id"]).select(
+        "ent_id", "name", "entities_list", "total_count", "articles_spanned", "rnk"
     )
 
 
@@ -463,55 +507,13 @@ FROM (
 """,
 )
 def q_kg_triple_counts(spark, sf_dir):
-    """Global rank without a global sort: the total order
-    (n_cooccur DESC, subj, obj) is unique per row, so rank ==
-    bucket-local row_number + rows-in-higher-buckets. The big table
-    windows hash-partitioned BY n_cooccur; only the per-bucket count
-    table (|distinct counts| rows — Zipf-bounded) crosses a single
-    partition for the offset prefix-sum. Same two-phase pattern as the
-    NEL mint (stages/nel.py:_dense_rank_by), generalized to a numeric
-    leading key."""
+    """Global rank without a global sort: (n_cooccur DESC, subj, obj)
+    is unique per row, so RANK == the two-phase bucketed row_number —
+    see _two_phase_rank for the partitioning/ReusedExchange argument."""
     t = QUERIES["kg_triples"](spark, sf_dir)
-    agg = (
-        t.groupBy("subj", "pred", "obj")
-        .agg(F.count("*").alias("n_cooccur"))
-        # materialize once: rank side and offset side both consume this
-        # aggregate, and Catalyst does not dedupe the two logical
-        # subtrees (no ReusedExchange across the self-join) — without
-        # this the whole triple pipeline executes twice
-        .localCheckpoint()
-    )
-    local = agg.withColumn(
-        "_r",
-        F.row_number().over(
-            W.partitionBy("n_cooccur").orderBy("subj", "obj")
-        ),
-    )
-    offsets = (
-        # derived from `local`, not `agg`: both consumers then share the
-        # exchange-on-n_cooccur subplan (ReusedExchange), so the triple
-        # aggregation runs once, and this groupBy needs no new shuffle
-        local.groupBy("n_cooccur")
-        .agg(F.count("*").alias("_n"))
-        .withColumn(
-            "_off",
-            F.coalesce(
-                F.sum("_n").over(
-                    W.orderBy(F.desc("n_cooccur")).rowsBetween(
-                        W.unboundedPreceding, -1
-                    )
-                ),
-                F.lit(0),
-            ),
-        )
-        .select("n_cooccur", "_off")
-    )
-    return local.join(F.broadcast(offsets), "n_cooccur").select(
-        "subj",
-        "pred",
-        "obj",
-        "n_cooccur",
-        (F.col("_off") + F.col("_r")).cast("bigint").alias("rnk"),
+    agg = t.groupBy("subj", "pred", "obj").agg(F.count("*").alias("n_cooccur"))
+    return _two_phase_rank(agg, "n_cooccur", ["subj", "obj"]).select(
+        "subj", "pred", "obj", "n_cooccur", "rnk"
     )
 
 
@@ -1599,7 +1601,11 @@ def q_kg_cooccur_pmi(spark, sf_dir):
     layer a KG builder puts on top of raw co-occurrence triples."""
     m = mentions(spark, sf_dir)
     doc_terms = m.select("doc_id", "surface").distinct()
-    n_docs = tokens(spark, sf_dir).select("doc_id").distinct().count()
+    # lazy 1-row aggregate, cross-joined broadcast — the query stays a
+    # single Spark job instead of an eager .count() pre-pass
+    n_docs = tokens(spark, sf_dir).agg(
+        F.countDistinct("doc_id").cast("bigint").alias("_n_docs")
+    )
     term_docs = doc_terms.groupBy("surface").agg(F.count("*").alias("df"))
     a, b = doc_terms.alias("a"), doc_terms.alias("b")
     pair_docs = (
@@ -1619,6 +1625,7 @@ def q_kg_cooccur_pmi(spark, sf_dir):
     return (
         pair_docs.join(F.broadcast(ta), "term_a")
         .join(F.broadcast(tb), "term_b")
+        .crossJoin(F.broadcast(n_docs))
         .select(
             "term_a",
             "term_b",
@@ -1628,7 +1635,7 @@ def q_kg_cooccur_pmi(spark, sf_dir):
             F.round(
                 F.log(
                     F.col("df_ab").cast("double")
-                    * F.lit(n_docs)
+                    * F.col("_n_docs")
                     / (F.col("df_a").cast("double") * F.col("df_b"))
                 ),
                 6,
@@ -2963,9 +2970,16 @@ def q_token_budget_shards(spark, sf_dir):
         F.col("doc_id").cast("bigint").alias("doc_id"),
         "batch_id",
         F.col("n_tokens").cast("bigint").alias("n_tokens"),
-        (F.coalesce(F.sum("n_tokens").over(w), F.lit(0)) / TOKEN_BUDGET)
-        .cast("int")
-        .alias("shard_id"),
+        # integer DIV, not true-division+cast: exact for any BIGINT
+        # cumulative sum (float division drifts past 2^53 tokens/batch)
+        F.coalesce(F.sum("n_tokens").over(w), F.lit(0))
+        .cast("bigint")
+        .alias("_cum"),
+    ).select(
+        "doc_id",
+        "batch_id",
+        "n_tokens",
+        F.expr(f"CAST(_cum DIV {TOKEN_BUDGET} AS INT)").alias("shard_id"),
     )
 
 
@@ -3656,16 +3670,18 @@ def q_doc_rarity_idf(spark, sf_dir):
     Rare-word-dense documents score high, boilerplate scores low — the
     KenLM-perplexity stand-in a curation pipeline thresholds on. Plan:
     tokens join a broadcast vocabulary dimension (|vocab| rows), one
-    map-side-partial agg per doc; corpus total is a scalar broadcast."""
+    map-side-partial agg per doc; corpus total is a broadcast 1-row
+    aggregate (lazy — no eager extra pass over the tokens table)."""
     t = tokens(spark, sf_dir)
     vocab = t.groupBy("token").agg(F.count("*").alias("cnt"))
-    total = t.count()  # scalar: embedded as a literal on both engines
+    corpus = t.agg(F.count("*").cast("bigint").alias("_total"))
     return (
         t.join(F.broadcast(vocab), "token")
+        .crossJoin(F.broadcast(corpus))
         .groupBy("doc_id")
         .agg(
             F.count("*").cast("bigint").alias("n_tokens"),
-            F.sum(F.expr(f"{total} div cnt")).cast("bigint").alias("rarity_sum"),
+            F.sum(F.expr("_total div cnt")).cast("bigint").alias("rarity_sum"),
         )
         .select(
             "doc_id",

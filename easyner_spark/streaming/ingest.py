@@ -133,15 +133,33 @@ def read_documents_epochs(spark: SparkSession, warehouse: str) -> DataFrame:
     names = [n for n in names if cat.committed_batches(n)]
     if not names:
         raise ValueError(f"no documents_epoch* stages committed in {warehouse}")
-    parts = [
-        cat.read_stage(spark, n).withColumn(
-            "_epoch", F.lit(int(n[len("documents_epoch"):]))
-        )
+    # ONE multi-path parquet read (a linear unionByName chain would grow
+    # driver plan size/analysis time O(n_epochs)). Only COMMITTED
+    # batch-partition leaf dirs are listed — snapshot isolation happens
+    # at file-listing time (an orphan dir from a crashed write is never
+    # read), strictly stronger than read_stage's post-filter. Epoch and
+    # batch_id ride in on the file path (leaf-dir reads skip partition
+    # discovery, which cannot mix non-key=value epoch roots).
+    paths = [
+        os.path.join(warehouse, n, f"batch_id={b}")
         for n in names
+        for b in sorted(cat.committed_batches(n))
     ]
-    allrows = parts[0]
-    for p in parts[1:]:
-        allrows = allrows.unionByName(p)
+    allrows = (
+        spark.read.parquet(*paths)
+        .withColumn(
+            "_epoch",
+            F.regexp_extract(
+                F.input_file_name(), r"documents_epoch(\d+)/", 1
+            ).cast("long"),
+        )
+        .withColumn(
+            "batch_id",
+            F.regexp_extract(F.input_file_name(), r"/batch_id=(\d+)/", 1).cast(
+                "int"
+            ),
+        )
+    )
     w = Window.partitionBy("doc_id").orderBy(F.desc("_epoch"), F.desc("warc_ts"))
     return (
         allrows.withColumn("_rn", F.row_number().over(w))

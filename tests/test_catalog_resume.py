@@ -55,6 +55,30 @@ def test_content_hash_stable_across_parallelism(spark, docs, tmp_path):
     assert h1 == h2
 
 
+def test_empty_input_default_flags_stale_and_keeps_rows(spark, docs, tmp_path):
+    """Without the opt-in, a fully-empty re-run input is treated as a
+    caller bug: committed rows keep serving, and the returned snapshot
+    carries the stale marker so the caller can tell."""
+    cat = CheckpointCatalog(str(tmp_path / "wh"))
+    cat.write_stage(docs, "s")
+    snap = cat.write_stage(docs.filter(F.lit(False)), "s")
+    assert snap == {"stale_empty_input": True}
+    assert cat.read_stage(spark, "s").count() == 400
+
+
+def test_allow_empty_retracts_everything(spark, docs, tmp_path):
+    """A stage whose row set legitimately shrinks to zero (e.g. the
+    minted-entity dimension once all surfaces resolve) retracts all
+    committed batches under allow_empty=True."""
+    cat = CheckpointCatalog(str(tmp_path / "wh"))
+    cat.write_stage(docs, "s")
+    snap = cat.write_stage(docs.filter(F.lit(False)), "s", allow_empty=True)
+    assert sorted(snap["retracted"]) == list(range(8))
+    assert cat.read_stage(spark, "s").count() == 0
+    # idempotent: a second empty re-run is a plain no-op
+    assert cat.write_stage(docs.filter(F.lit(False)), "s", allow_empty=True) == {}
+
+
 def test_orphan_partitions_invisible_until_committed(spark, docs, tmp_path):
     """Snapshot isolation: partition directories written by a crashed
     job (data present, manifest missing) must not be visible to

@@ -186,3 +186,38 @@ def test_asof_join_map_payload_with_tie_break_off(spark):
     )
     row = asof_join(left, right, on="k", tie_break=False).collect()[0]
     assert row["props_r"] == {"a": "1"}
+
+
+def test_asof_join_rejects_reserved_and_colliding_names(spark):
+    """Internal tag columns and suffixed outputs must not silently
+    collide with caller columns — clear ValueError instead."""
+    import pytest
+
+    from easyner_spark.ops.asof import asof_join
+
+    left = spark.createDataFrame([(1, 5, 0)], "k int, ts int, __ts int")
+    right = spark.createDataFrame([(1, 5, 1.0)], "k int, ts int, val double")
+    with pytest.raises(ValueError, match="reserved"):
+        asof_join(left, right, on="k")
+
+    # right payload "val" suffixes to "val_r" which the left already has
+    left2 = spark.createDataFrame([(1, 5, 9.0)], "k int, ts int, val_r double")
+    with pytest.raises(ValueError, match="collide"):
+        asof_join(left2, right, on="k")
+
+
+def test_interval_join_rejects_reserved_and_colliding_names(spark):
+    import pytest
+
+    from easyner_spark.ops.rangejoin import interval_join
+
+    left = spark.createDataFrame([(1, 0, 10, 3)], "k int, start int, end int, __bin int")
+    right = spark.createDataFrame([(1, 5, 20)], "k int, start int, end int")
+    with pytest.raises(ValueError, match="__bin"):
+        interval_join(left, right, on="k", bin_width=8)
+
+    left2 = spark.createDataFrame(
+        [(1, 0, 10, 7)], "k int, start int, end int, start_r int"
+    )
+    with pytest.raises(ValueError, match="collide"):
+        interval_join(left2, right, on="k", bin_width=8)

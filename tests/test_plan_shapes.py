@@ -142,6 +142,36 @@ def test_triple_counts_rank_windows_by_count_bucket(spark):
     assert "hashpartitioning(n_cooccur" in plan
 
 
+def test_frequency_ranks_window_by_count_bucket(spark):
+    """kg_entity_frequency / kg_id_frequency global ranks must window
+    hash-partitioned by the total_count bucket (two-phase rank) — the
+    round-2 weak items; a partition-undefined window here is the
+    straggler task at web scale."""
+    from easyner_spark.queries import QUERIES
+
+    for name in ("kg_entity_frequency", "kg_id_frequency"):
+        plan = _plan(QUERIES[name](spark, SF_DIR))
+        assert "hashpartitioning(total_count" in plan, name
+
+
+def test_scalar_count_queries_are_lazy(spark):
+    """doc_rarity_idf / kg_cooccur_pmi must embed their corpus-level
+    scalar as a lazy cross-joined 1-row aggregate (the `_total` /
+    `_n_docs` column visible in the plan), not an eager .count()
+    pre-pass that bakes a literal in and costs an extra full scan.
+    (The only job plan construction may run is the parquet
+    footer/schema read — a count() pre-pass would also leave no
+    aggregate column in the plan, which is what we pin.)"""
+    from easyner_spark.queries import QUERIES
+
+    for name, scalar_col in (
+        ("doc_rarity_idf", "_total"),
+        ("kg_cooccur_pmi", "_n_docs"),
+    ):
+        plan = _plan(QUERIES[name](spark, SF_DIR))
+        assert scalar_col in plan, f"{name}: scalar not a lazy aggregate"
+
+
 def test_asof_join_is_one_shuffle_window(spark):
     """The as-of join must be the tag-and-union window (one exchange on
     the key), never a range/theta join."""
