@@ -108,6 +108,12 @@ def run_bench(sf_dir: str, cpus: str, n_corpus_docs: int | None = None) -> dict:
         # for round-over-round comparison)
         "kg_graph_pagerank",
         "web_boilerplate_ratio",
+        # round-3 additions: graph/web/temporal regression coverage
+        "kg_graph_triangles",
+        "kg_graph_two_hop",
+        "events_asof_purchase",
+        "events_interval_overlap",
+        "web_url_canonical",
     ]
     for name in headline:
         # min of two runs: this VM shows sporadic multi-second scheduler

@@ -40,6 +40,7 @@ def asof_join(
     right_ts: str = "ts",
     suffix: str = "_r",
     tie_break: bool = True,
+    salt: int | None = None,
 ) -> DataFrame:
     """Backward as-of left join → all left columns + right payload
     columns (everything but the keys) suffixed, NULL when no right row
@@ -49,14 +50,25 @@ def asof_join(
     (deterministic greatest-payload pick) — requires orderable payload
     types. Pass False for payloads containing maps (not orderable in a
     window ORDER BY); then the right side must be unique per
-    (keys, ts) for a deterministic result."""
+    (keys, ts) for a deterministic result.
+
+    ``salt``: hot-key guard. The window partitions by key, so one hot
+    key (a null-heavy join column, a mega-user) concentrates its whole
+    timeline in ONE task whose sort is the straggler. ``salt=S`` splits
+    the LEFT rows of every key across S sub-partitions (hash of the
+    left timestamp — stateless, layout-invariant) and replicates the
+    RIGHT rows to all S, so each task sorts ~left/S + right rows. The
+    result is EXACT (every left row still sees every right row for its
+    key); the trade is an S× right-side replication, so it fits the
+    common shape left ≫ right per key. Measured: scripts/skew_bench.py
+    --asof."""
     keys = [on] if isinstance(on, str) else list(on)
     payload = [c for c in right.columns if c not in keys]
     # the internal tag/window columns and the suffixed outputs must not
     # collide with caller columns — a left frame already holding "__ts"
     # (or a right payload name that suffixes onto an existing left
     # column) would silently produce wrong or ambiguous output
-    reserved = {"__ts", "__is_r", "__p", "__l", "__m"}
+    reserved = {"__ts", "__is_r", "__p", "__l", "__m", "__salt"}
     clash = reserved & (set(left.columns) | set(right.columns))
     if clash:
         raise ValueError(f"asof_join: reserved column name(s) in input: {sorted(clash)}")
@@ -80,13 +92,20 @@ def asof_join(
         F.struct(*[F.col(c) for c in left.columns]).alias("__l"),
     )
     r2 = r2.withColumn("__l", F.lit(None).cast(l2.schema["__l"].dataType))
+    part_keys = list(keys)
+    if salt is not None and salt > 1:
+        l2 = l2.withColumn("__salt", F.pmod(F.xxhash64("__ts"), F.lit(salt)))
+        r2 = r2.withColumn(
+            "__salt", F.explode(F.sequence(F.lit(0), F.lit(salt - 1)))
+        ).withColumn("__salt", F.col("__salt").cast("bigint"))
+        part_keys.append("__salt")
     order = [F.col("__ts").asc(), F.col("__is_r").desc()]
     if tie_break:
         # deterministic tie-break among right rows at one ts: the
         # greatest payload struct wins (last() takes the final one)
         order.append(F.col("__p").asc_nulls_first())
     w = (
-        W.partitionBy(*keys)
+        W.partitionBy(*part_keys)
         .orderBy(*order)
         .rowsBetween(W.unboundedPreceding, W.currentRow)
     )

@@ -45,8 +45,20 @@ def pagerank(
     dst: str = "dst",
     iterations: int = 5,
     scale: int = PR_SCALE,
+    epsilon_scaled: int | None = None,
+    info: dict | None = None,
 ) -> DataFrame:
     """Fixed-iteration PageRank → (node, rank_scaled BIGINT).
+
+    ``epsilon_scaled`` (production option): stop early once the max
+    per-node |Δrank| between successive iterations is <= this many
+    scaled units (e.g. ``scale // 10**6`` for a 1e-6 tolerance). The
+    check is one bounded aggregate per round (max over the joined rank
+    tables — exact integer compare, no float drift); ``iterations``
+    stays the hard cap. The CONTRACT query keeps fixed iterations
+    (epsilon_scaled=None) so the DuckDB oracle replays the identical
+    recursion depth. ``info`` (optional dict) receives
+    ``{"rounds": n, "last_delta": d}`` for observability/tests.
 
     rank_scaled is the PageRank value times ``scale``, computed with
     integer division only: per edge the contribution is
@@ -78,7 +90,11 @@ def pagerank(
     base = PR_DAMP_DEN - PR_DAMP_NUM  # 15
     ranks = nodes.withColumn("rank", F.lit(scale).cast("bigint"))
     base_term = base * scale // PR_DAMP_DEN
+    if info is not None:
+        info.update({"rounds": 0, "last_delta": None})
     for _ in range(iterations):
+        if info is not None:
+            info["rounds"] += 1
         # per-edge contribution stays BIGINT (bounded by a node's rank);
         # the in-sum and damping product go through DECIMAL(38,0) so no
         # intermediate can overflow int64 on hub nodes (the DuckDB
@@ -92,7 +108,7 @@ def pagerank(
             .groupBy("node")
             .agg(F.sum("c").alias("s"))
         )
-        ranks = (
+        new_ranks = (
             nodes.join(in_sum, "node", "left")
             .select(
                 "node",
@@ -104,6 +120,23 @@ def pagerank(
             )
             .localCheckpoint()
         )
+        if epsilon_scaled is not None:
+            # exact integer convergence check: one hash-join on node
+            # (both sides already materialized) + a bounded max agg
+            delta = (
+                new_ranks.join(
+                    ranks.select("node", F.col("rank").alias("_prev")), "node"
+                )
+                .agg(F.max(F.abs(F.col("rank") - F.col("_prev"))).alias("d"))
+                .first()["d"]
+            )
+            ranks = new_ranks
+            if info is not None:
+                info["last_delta"] = delta
+            if delta is not None and delta <= epsilon_scaled:
+                break
+        else:
+            ranks = new_ranks
     return ranks.select("node", F.col("rank").alias("rank_scaled"))
 
 

@@ -80,8 +80,62 @@ def url_host(url: Column) -> Column:
     return F.lower(F.regexp_extract(url, _HOST_RE, 1))
 
 
-def registered_domain(host: Column) -> Column:
-    """Naive registered domain: the last two dot-labels (a real
-    deployment swaps in the public-suffix list; the plumbing — group
-    keys, partitioning — is identical)."""
-    return F.regexp_extract(host, "[^.]+\\.[^.]+$", 0)
+# Embedded public-suffix subset: the high-traffic TWO-LABEL public
+# suffixes (publicsuffix.org). Bounded literal set → stays a pure JVM
+# expression (array_contains over a literal array, whole-stage
+# codegen); a full-PSL deployment swaps this for the complete list
+# (still a literal/broadcast lookup — the plan shape is unchanged).
+_TWO_LABEL_PUBLIC_SUFFIXES = (
+    "co.uk", "org.uk", "ac.uk", "gov.uk", "me.uk", "net.uk", "ltd.uk",
+    "plc.uk", "sch.uk", "nhs.uk",
+    "com.au", "net.au", "org.au", "edu.au", "gov.au", "id.au", "asn.au",
+    "co.jp", "ne.jp", "or.jp", "ac.jp", "go.jp", "ad.jp", "ed.jp",
+    "gr.jp", "lg.jp",
+    "co.nz", "net.nz", "org.nz", "govt.nz", "ac.nz", "geek.nz",
+    "co.za", "org.za", "net.za", "gov.za", "ac.za", "web.za",
+    "com.br", "net.br", "org.br", "gov.br", "edu.br",
+    "com.cn", "net.cn", "org.cn", "gov.cn", "edu.cn", "ac.cn",
+    "com.mx", "org.mx", "net.mx", "gob.mx", "edu.mx",
+    "co.in", "net.in", "org.in", "gen.in", "firm.in", "ind.in",
+    "ac.in", "edu.in", "res.in", "gov.in", "nic.in",
+    "com.ar", "net.ar", "org.ar", "gob.ar", "edu.ar",
+    "co.kr", "ne.kr", "or.kr", "re.kr", "go.kr", "ac.kr", "pe.kr",
+    "com.tr", "net.tr", "org.tr", "gov.tr", "edu.tr", "web.tr",
+    "com.tw", "net.tw", "org.tw", "gov.tw", "edu.tw", "idv.tw",
+    "com.sg", "net.sg", "org.sg", "edu.sg", "gov.sg", "per.sg",
+    "com.hk", "net.hk", "org.hk", "edu.hk", "gov.hk", "idv.hk",
+    "com.my", "net.my", "org.my", "edu.my", "gov.my",
+    "co.id", "or.id", "ac.id", "go.id", "web.id", "sch.id", "my.id",
+    "com.es", "nom.es", "org.es", "gob.es", "edu.es",
+    "co.il", "org.il", "net.il", "ac.il", "gov.il", "muni.il",
+    "com.ua", "net.ua", "org.ua", "edu.ua", "gov.ua", "in.ua",
+    "com.pl", "net.pl", "org.pl", "edu.pl", "gov.pl", "waw.pl",
+    "com.ru", "net.ru", "org.ru", "msk.ru", "spb.ru",
+    "co.th", "in.th", "ac.th", "go.th", "or.th", "net.th",
+    "com.vn", "net.vn", "org.vn", "edu.vn", "gov.vn",
+    "com.ph", "net.ph", "org.ph", "edu.ph", "gov.ph",
+    "com.eg", "net.eg", "org.eg", "edu.eg", "gov.eg",
+    "com.sa", "net.sa", "org.sa", "edu.sa", "gov.sa", "med.sa",
+    "com.ng", "net.ng", "org.ng", "edu.ng", "gov.ng",
+    "co.ke", "or.ke", "ne.ke", "go.ke", "ac.ke", "sc.ke",
+)
+
+
+def registered_domain(host: Column, psl: bool = True) -> Column:
+    """Registered (eTLD+1) domain of a lowercased hostname.
+
+    ``psl=True`` (default): public-suffix aware over the embedded
+    two-label suffix subset — ``news.bbc.co.uk`` → ``bbc.co.uk``,
+    ``www.example.com`` → ``example.com``. A bare public suffix
+    (``co.uk``) has no registrable part and is returned as-is.
+
+    ``psl=False``: the naive last-two-labels rule (kept for the
+    SQL-oracle-gated contract query, whose DuckDB twin mirrors the same
+    expression)."""
+    last2 = F.regexp_extract(host, "([^.]+\\.[^.]+)$", 1)
+    if not psl:
+        return last2
+    last3 = F.regexp_extract(host, "([^.]+\\.[^.]+\\.[^.]+)$", 1)
+    return F.when(
+        last2.isin(*_TWO_LABEL_PUBLIC_SUFFIXES) & (last3 != ""), last3
+    ).otherwise(last2)

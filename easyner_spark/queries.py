@@ -3168,7 +3168,9 @@ def q_web_url_canonical(spark, sf_dir):
         "url",
         canonical_url(F.col("url")).alias("canon_url"),
         url_host(F.col("url")).alias("host"),
-        registered_domain(url_host(F.col("url"))).alias("domain"),
+        # psl=False: the contract oracle mirrors the naive rule; the
+        # PSL-aware default is unit-tested in tests/test_web_ops.py
+        registered_domain(url_host(F.col("url")), psl=False).alias("domain"),
     )
 
 
@@ -3198,7 +3200,7 @@ def q_web_domain_stats(spark, sf_dir):
     from .ops.web import registered_domain, url_host
 
     u = urls_df(spark, sf_dir).withColumn(
-        "domain", registered_domain(url_host(F.col("url")))
+        "domain", registered_domain(url_host(F.col("url")), psl=False)
     )
     return u.groupBy("domain").agg(
         F.count("*").cast("bigint").alias("n_docs"),

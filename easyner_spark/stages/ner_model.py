@@ -53,6 +53,13 @@ def _hf_tagger(model_name: str, batch_size: int, fp16: bool) -> TaggerFn:
         device=device,
         torch_dtype=torch.float16 if (fp16 and device >= 0) else None,
     )
+    return wrap_hf_pipeline(pipe, batch_size)
+
+
+def wrap_hf_pipeline(pipe, batch_size: int) -> TaggerFn:
+    """Adapt a ready HF token-classification pipeline object to the
+    TaggerFn contract (also used by the real-inference smoke test,
+    which builds a tiny local pipeline without any network fetch)."""
 
     def tag(sentences: list[str]):
         outs = pipe(sentences, batch_size=batch_size)

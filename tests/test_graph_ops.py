@@ -221,3 +221,47 @@ def test_interval_join_rejects_reserved_and_colliding_names(spark):
     )
     with pytest.raises(ValueError, match="collide"):
         interval_join(left2, right, on="k", bin_width=8)
+
+
+def test_pagerank_epsilon_early_stop(spark):
+    """Production convergence option: a cycle graph reaches its exact
+    integer fixed point after one round, so the epsilon run stops far
+    below the iteration cap with ranks identical to the capped run."""
+    from easyner_spark.ops.graph import pagerank
+
+    e = _edges(spark, [("A", "B"), ("B", "C"), ("C", "A")])
+    info = {}
+    early = {
+        r["node"]: r["rank_scaled"]
+        for r in pagerank(e, iterations=50, epsilon_scaled=0, info=info).collect()
+    }
+    assert info["rounds"] < 50  # converged early (delta hit 0)
+    assert info["last_delta"] == 0
+    fixed = {
+        r["node"]: r["rank_scaled"] for r in pagerank(e, iterations=50).collect()
+    }
+    assert early == fixed
+
+
+def test_pagerank_epsilon_bounds_divergence_on_chain(spark):
+    """On a non-trivial graph the early-stopped ranks differ from the
+    capped run by at most epsilon per node."""
+    from easyner_spark.ops.graph import pagerank
+
+    e = _edges(
+        spark,
+        [("A", "B"), ("B", "C"), ("C", "D"), ("D", "A"), ("A", "C"), ("B", "D")],
+    )
+    eps = 10**6  # 1e-6 of PR_SCALE
+    info = {}
+    early = {
+        r["node"]: r["rank_scaled"]
+        for r in pagerank(e, iterations=100, epsilon_scaled=eps, info=info).collect()
+    }
+    assert info["rounds"] < 100
+    full = {
+        r["node"]: r["rank_scaled"]
+        for r in pagerank(e, iterations=100).collect()
+    }
+    # geometric tail bound: total remaining movement <= eps * d/(1-d)
+    assert all(abs(early[n] - full[n]) <= 6 * eps for n in full)

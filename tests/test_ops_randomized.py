@@ -122,3 +122,34 @@ def test_canonical_url_is_idempotent_on_messy_corpus(spark):
         "c1", canonical_url(F.col("c1")).alias("c2")
     ).filter(F.col("c1") != F.col("c2"))
     assert twice.count() == 0
+
+
+def test_asof_join_salted_matches_unsalted(spark):
+    """salt=S is an exactness-preserving rewrite: every left row still
+    sees the full right timeline for its key. Random sweep with a hot
+    key and duplicate timestamps."""
+    import random
+
+    from easyner_spark.ops.asof import asof_join
+
+    rng = random.Random(11)
+    lrows = [(0, rng.randrange(100), i) for i in range(300)] + [
+        (k, rng.randrange(100), 300 + k) for k in range(1, 20)
+    ]
+    rrows = [
+        (k, ts, float(k * 1000 + ts))
+        for k in range(0, 20)
+        for ts in sorted(rng.sample(range(100), 12))
+    ]
+    left = spark.createDataFrame(lrows, "k int, ts int, lid int")
+    right = spark.createDataFrame(rrows, "k int, ts int, val double")
+    base = {
+        r["lid"]: (r["ts_r"], r["val_r"])
+        for r in asof_join(left, right, on="k").collect()
+    }
+    for s in (2, 7):
+        salted = {
+            r["lid"]: (r["ts_r"], r["val_r"])
+            for r in asof_join(left, right, on="k", salt=s).collect()
+        }
+        assert salted == base, f"salt={s}"

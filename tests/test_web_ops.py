@@ -69,3 +69,25 @@ def test_host_and_domain(spark, url, host, domain):
         registered_domain(url_host(F.col("url"))).alias("d"),
     ).collect()[0]
     assert (row["h"], row["d"]) == (host, domain)
+
+
+@pytest.mark.parametrize(
+    ("host", "psl_domain", "naive_domain"),
+    [
+        ("news.bbc.co.uk", "bbc.co.uk", "co.uk"),
+        ("shop.example.com.au", "example.com.au", "com.au"),
+        ("www.example.com", "example.com", "example.com"),
+        ("a.b.co.jp", "b.co.jp", "co.jp"),
+        ("co.uk", "co.uk", "co.uk"),  # bare public suffix: no registrable part
+        ("example.org", "example.org", "example.org"),
+    ],
+)
+def test_registered_domain_public_suffix(spark, host, psl_domain, naive_domain):
+    """PSL-aware default vs the naive last-two-labels rule kept for the
+    oracle-gated queries."""
+    df = spark.createDataFrame([(host,)], "h string")
+    row = df.select(
+        registered_domain(F.col("h")).alias("p"),
+        registered_domain(F.col("h"), psl=False).alias("n"),
+    ).collect()[0]
+    assert (row["p"], row["n"]) == (psl_domain, naive_domain)
