@@ -109,8 +109,33 @@ def run_pipeline(
             row.asDict() for row in audit_hashes(docs).orderBy("batch_id").collect()
         ][:8]
 
+    if "screen" in want:
+        # opt-in PII screen (ops/curation.py): scrub matches in place
+        # and keep the per-doc count for routing/reporting. A narrow
+        # whole-stage-codegen projection — no shuffle beyond the commit.
+        from .ops.curation import screen_documents
+
+        docs = docs if docs is not None else need("documents", "screen")
+        screened = screen_documents(docs).select(
+            *[c for c in docs.columns if c != "text"],
+            F.col("text_scrubbed").alias("text"),
+            "pii_total",
+        )
+        docs = commit("documents_screened", screened)
+        # column-pruned scan of the committed table (pii_total only)
+        report["documents_screened"]["pii_docs"] = docs.filter(
+            F.col("pii_total") > 0
+        ).count()
+
     if "sentences" in want:
-        docs = docs if docs is not None else need("documents", "sentences")
+        if docs is None:
+            # prefer the screened table when that stage was committed in
+            # an earlier invocation of this warehouse
+            docs = (
+                cat.read_stage(spark, "documents_screened")
+                if cat.committed_batches("documents_screened")
+                else need("documents", "sentences")
+            )
         sents = commit("sentences", split_documents(docs))
     # NOTE: conflict resolution (J3) applies to MULTI-run merges only
     # (reference: entity_merger2.py post-processes merged class runs);
@@ -273,6 +298,13 @@ def main() -> None:
         "corpora only — unbounded per-surface arrays at web scale)",
     )
     ap.add_argument(
+        "--screen",
+        action="store_true",
+        help="opt-in PII screen between documents and sentences: scrub "
+        "email/ipv4/ssn/phone matches in place (ops/curation.py) and "
+        "commit the screened table; downstream stages consume it",
+    )
+    ap.add_argument(
         "--analysis-approx",
         action="store_true",
         help="articles_spanned via HyperLogLog++ instead of exact "
@@ -289,13 +321,22 @@ def main() -> None:
         if args.input
         else pages_df(spark, n_docs=args.n_docs)
     )
+    stages = set(args.stages.split(",")) if args.stages else None
+    if args.screen:
+        if stages is None:
+            stages = {
+                "documents", "screen", "sentences", "mentions", "linked",
+                "canonical", "triples", "graph", "analysis",
+            }
+        else:
+            stages.add("screen")
     report = run_pipeline(
         spark,
         pages,
         args.warehouse,
         n_batches=args.n_batches,
         canonicalize=not args.no_canonical,
-        stages=set(args.stages.split(",")) if args.stages else None,
+        stages=stages,
         analysis_sets=args.analysis_sets,
         analysis_approx=args.analysis_approx,
         triples_cap=args.triples_cap,

@@ -3694,3 +3694,468 @@ def q_doc_rarity_idf(spark, sf_dir):
             .alias("rarity_per_token"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# round-3 families: event funnels/retention, language-model counts,
+# ranked retrieval, inverted index, graph node similarity,
+# benchmark-contamination, column profiling
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "events_funnel",
+    """
+WITH ev AS (
+  SELECT user_id, event_type, CAST(epoch_us(ts) AS BIGINT) AS us FROM events
+),
+v AS (SELECT user_id, min(us) AS t1 FROM ev WHERE event_type = 'view' GROUP BY user_id),
+c AS (SELECT ev.user_id, min(us) AS t2
+      FROM ev JOIN v ON ev.user_id = v.user_id
+      WHERE event_type = 'click' AND us > t1 GROUP BY ev.user_id),
+p AS (SELECT ev.user_id, min(us) AS t3
+      FROM ev JOIN c ON ev.user_id = c.user_id
+      WHERE event_type = 'purchase' AND us > t2 GROUP BY ev.user_id)
+SELECT 'view' AS step, CAST((SELECT count(*) FROM v) AS BIGINT) AS n_users
+UNION ALL
+SELECT 'view>click', CAST((SELECT count(*) FROM c) AS BIGINT)
+UNION ALL
+SELECT 'view>click>purchase', CAST((SELECT count(*) FROM p) AS BIGINT)
+""",
+)
+def q_events_funnel(spark, sf_dir):
+    """Ordered conversion funnel (view → click → purchase): a user
+    counts for step k only with a strictly later event than their step
+    k-1 entry — the sequential-pattern query every product-analytics
+    engine ships. Plan: three user-keyed aggregates chained by equi
+    joins (each a hash join + map-side-partial min) — no window over
+    the whole event stream, no per-user sort; at web scale every stage
+    shuffles once on user_id and AQE handles hot users."""
+    e = _read(spark, sf_dir, "events").select(
+        "user_id",
+        "event_type",
+        F.unix_micros(F.col("ts").cast("timestamp")).alias("us"),
+    )
+    v = (
+        e.filter(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min("us").alias("t1"))
+    )
+    c = (
+        e.filter(F.col("event_type") == "click")
+        .join(v, "user_id")
+        .filter(F.col("us") > F.col("t1"))
+        .groupBy("user_id")
+        .agg(F.min("us").alias("t2"))
+    )
+    p = (
+        e.filter(F.col("event_type") == "purchase")
+        .join(c, "user_id")
+        .filter(F.col("us") > F.col("t2"))
+        .groupBy("user_id")
+        .agg(F.min("us").alias("t3"))
+    )
+
+    def one(df, label):
+        return df.agg(F.count("*").cast("bigint").alias("n_users")).select(
+            F.lit(label).alias("step"), "n_users"
+        )
+
+    return (
+        one(v, "view")
+        .unionByName(one(c, "view>click"))
+        .unionByName(one(p, "view>click>purchase"))
+    )
+
+
+@register(
+    "events_retention_hourly",
+    """
+WITH act AS (
+  SELECT DISTINCT CAST(epoch_us(date_trunc('hour', ts)) AS BIGINT) AS hour_us,
+         user_id
+  FROM events
+),
+ret AS (
+  SELECT a.hour_us, CAST(count(*) AS BIGINT) AS n_retained
+  FROM act a JOIN act b
+    ON a.user_id = b.user_id AND b.hour_us = a.hour_us + 3600000000
+  GROUP BY a.hour_us
+)
+SELECT a.hour_us,
+       CAST(count(*) AS BIGINT) AS n_active,
+       CAST(COALESCE(min(r.n_retained), 0) AS BIGINT) AS n_retained,
+       CAST(COALESCE(min(r.n_retained), 0) * 1000000 // count(*) AS BIGINT)
+         AS retention_ppm
+FROM act a LEFT JOIN ret r ON a.hour_us = r.hour_us
+GROUP BY a.hour_us
+""",
+)
+def q_events_retention_hourly(spark, sf_dir):
+    """Hour-over-hour cohort retention: of the users active in hour H,
+    how many return in H+1. The (hour, user) distinct set self-joins on
+    (user, hour+1) — an equi hash join, never a window over the global
+    stream; retention is an exact integer ppm (no float division)."""
+    e = _read(spark, sf_dir, "events")
+    act = e.select(
+        F.unix_micros(F.date_trunc("hour", F.col("ts").cast("timestamp"))).alias(
+            "hour_us"
+        ),
+        "user_id",
+    ).distinct()
+    nxt = act.select(
+        (F.col("hour_us") - 3_600_000_000).alias("hour_us"), "user_id"
+    )
+    ret = (
+        act.join(nxt, ["hour_us", "user_id"], "left_semi")
+        .groupBy("hour_us")
+        .agg(F.count("*").cast("bigint").alias("n_retained"))
+    )
+    return (
+        act.groupBy("hour_us")
+        .agg(F.count("*").cast("bigint").alias("n_active"))
+        .join(ret, "hour_us", "left")
+        .select(
+            "hour_us",
+            "n_active",
+            F.coalesce("n_retained", F.lit(0)).cast("bigint").alias("n_retained"),
+            F.expr(
+                "CAST(coalesce(n_retained, 0) * 1000000 div n_active AS BIGINT)"
+            ).alias("retention_ppm"),
+        )
+    )
+
+
+@register(
+    "text_bigram_lm",
+    _TOKS_CTE
+    + """,
+big AS (
+  SELECT token AS w1,
+         lead(token) OVER (PARTITION BY doc_id ORDER BY pos) AS w2
+  FROM toks
+),
+cnt AS (
+  SELECT w1, w2, CAST(count(*) AS BIGINT) AS c12
+  FROM big WHERE w2 IS NOT NULL GROUP BY w1, w2
+),
+tot AS (
+  SELECT w1, w2, c12, CAST(SUM(c12) OVER (PARTITION BY w1) AS BIGINT) AS c1
+  FROM cnt
+)
+SELECT w1, w2, c12, c1,
+       CAST(c12 * 1000000 // c1 AS BIGINT) AS p_ppm
+FROM tot WHERE c12 >= 3
+""",
+)
+def q_text_bigram_lm(spark, sf_dir):
+    """Bigram language-model counts with exact integer conditional
+    probabilities (parts-per-million via BIGINT div — no float, no
+    log): the n-gram statistics layer of a data-quality / perplexity
+    pipeline. Plan: one doc-partitioned lead window (narrow per-doc
+    sort), one map-side-partial bigram agg, one w1-partitioned window
+    for the denominator — all hash-partitioned, nothing global."""
+    t = tokens(spark, sf_dir)
+    w = W.partitionBy("doc_id").orderBy("pos")
+    big = (
+        t.withColumn("w2", F.lead("token").over(w))
+        .filter(F.col("w2").isNotNull())
+        .groupBy(F.col("token").alias("w1"), "w2")
+        .agg(F.count("*").cast("bigint").alias("c12"))
+    )
+    big = big.withColumn(
+        "c1", F.sum("c12").over(W.partitionBy("w1")).cast("bigint")
+    )
+    return big.filter(F.col("c12") >= 3).select(
+        "w1",
+        "w2",
+        "c12",
+        "c1",
+        F.expr("CAST(c12 * 1000000 div c1 AS BIGINT)").alias("p_ppm"),
+    )
+
+
+BM25_TERMS = ["spark", "hash", "table", "window"]
+
+
+@register(
+    "search_bm25_lite",
+    _TOKS_CTE
+    + f""",
+tf AS (
+  SELECT doc_id, token, CAST(count(*) AS BIGINT) AS tf
+  FROM toks WHERE token IN ({', '.join(repr(t) for t in BM25_TERMS)})
+  GROUP BY doc_id, token
+),
+df AS (SELECT token, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY token),
+nd AS (SELECT CAST(count(DISTINCT doc_id) AS BIGINT) AS n FROM toks)
+SELECT doc_id,
+       CAST(count(*) AS BIGINT) AS n_terms,
+       CAST(SUM(tf.tf * (nd.n // df.df)) AS BIGINT) AS score
+FROM tf JOIN df ON tf.token = df.token CROSS JOIN nd
+GROUP BY doc_id
+ORDER BY score DESC, doc_id
+LIMIT 20
+""",
+)
+def q_search_bm25_lite(spark, sf_dir):
+    """Ranked retrieval with an integer-exact relevance score: per
+    query term tf × (N div df) — the BM25 idf shape with rational
+    arithmetic instead of log() (libm last-ulp differs across engines;
+    the ranking this produces is idf-monotone). Plan: term-filtered
+    scan (predicate pushed to parquet), doc-keyed partial agg,
+    broadcast df dimension + lazy 1-row N, and the top-k is
+    orderBy().limit() → TakeOrderedAndProject — per-partition top-20
+    folded on the driver, never a global sort."""
+    t = tokens(spark, sf_dir)
+    tf = (
+        t.filter(F.col("token").isin(BM25_TERMS))
+        .groupBy("doc_id", "token")
+        .agg(F.count("*").cast("bigint").alias("tf"))
+    )
+    df = tf.groupBy("token").agg(F.count("*").cast("bigint").alias("df"))
+    nd = t.agg(F.countDistinct("doc_id").cast("bigint").alias("n"))
+    return (
+        tf.join(F.broadcast(df), "token")
+        .crossJoin(F.broadcast(nd))
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").cast("bigint").alias("n_terms"),
+            F.sum(F.expr("tf * (n div df)")).cast("bigint").alias("score"),
+        )
+        .orderBy(F.desc("score"), "doc_id")
+        .limit(20)
+    )
+
+
+@register(
+    "index_postings_rare",
+    _TOKS_CTE
+    + """,
+dt AS (SELECT DISTINCT token, doc_id FROM toks)
+SELECT token,
+       CAST(count(*) AS BIGINT) AS df,
+       string_agg(CAST(doc_id AS VARCHAR), ',' ORDER BY CAST(doc_id AS VARCHAR))
+         AS postings
+FROM dt GROUP BY token HAVING count(*) <= 20
+""",
+)
+def q_index_postings_rare(spark, sf_dir):
+    """Inverted-index posting lists for RARE terms (df ≤ 20): the
+    long-tail index shard a retrieval system materializes eagerly
+    (head terms stay as tf tables — an unbounded collect per stopword
+    would be the scale-killer, so the df cap is part of the operator's
+    contract, not a test convenience). One distinct + one token-keyed
+    agg; postings are sorted in-group, no global order."""
+    t = tokens(spark, sf_dir)
+    dt = t.select("token", "doc_id").distinct()
+    agg = dt.groupBy("token").agg(
+        F.count("*").cast("bigint").alias("df"),
+        F.array_join(
+            F.array_sort(F.collect_set(F.col("doc_id").cast("string"))), ","
+        ).alias("postings"),
+    )
+    return agg.filter(F.col("df") <= 20).select("token", "df", "postings")
+
+
+@register(
+    "kg_graph_node_jaccard",
+    _DEDGES_CTE
+    + """,
+adj AS (SELECT a AS u, b AS v FROM uedges UNION SELECT b, a FROM uedges),
+deg AS (SELECT u, CAST(count(*) AS BIGINT) AS d FROM adj GROUP BY u),
+pairs AS (
+  SELECT l.u AS ent_a, r.u AS ent_b, CAST(count(*) AS BIGINT) AS n_common
+  FROM adj l JOIN adj r ON l.v = r.v AND l.u < r.u
+  GROUP BY l.u, r.u
+)
+SELECT p.ent_a, p.ent_b, p.n_common, da.d AS deg_a, db.d AS deg_b,
+       CAST(p.n_common * 1000000 // (da.d + db.d - p.n_common) AS BIGINT)
+         AS jaccard_ppm
+FROM pairs p JOIN deg da ON p.ent_a = da.u JOIN deg db ON p.ent_b = db.u
+WHERE p.n_common >= 2
+""",
+)
+def q_kg_graph_node_jaccard(spark, sf_dir):
+    """Common-neighbor (Jaccard) node similarity over the entity
+    graph — the structural link-prediction score (two entities are
+    similar if their co-occurrence neighborhoods overlap). Exact
+    integer ppm. Plan: the adjacency self-joins on the SHARED NEIGHBOR
+    (equi join; fan-out bounded by neighbor degree — super-hub middles
+    are the documented cap point, same policy as two_hop_reach), then
+    two degree-dimension joins. No all-pairs product anywhere."""
+    u0 = dedges(spark, sf_dir)
+    und = (
+        u0.select(
+            F.least("src", "dst").alias("a"), F.greatest("src", "dst").alias("b")
+        )
+        .distinct()
+        .localCheckpoint()  # three consumers below; Catalyst won't dedupe
+    )
+    adj = (
+        und.select(F.col("a").alias("u"), F.col("b").alias("v"))
+        .union(und.select(F.col("b").alias("u"), F.col("a").alias("v")))
+        .localCheckpoint()
+    )
+    deg = adj.groupBy("u").agg(F.count("*").cast("bigint").alias("d"))
+    l, r = adj.alias("l"), adj.alias("r")
+    pairs = (
+        l.join(r, (F.col("l.v") == F.col("r.v")) & (F.col("l.u") < F.col("r.u")))
+        .groupBy(F.col("l.u").alias("ent_a"), F.col("r.u").alias("ent_b"))
+        .agg(F.count("*").cast("bigint").alias("n_common"))
+        .filter(F.col("n_common") >= 2)
+    )
+    da = deg.select(F.col("u").alias("ent_a"), F.col("d").alias("deg_a"))
+    db = deg.select(F.col("u").alias("ent_b"), F.col("d").alias("deg_b"))
+    return (
+        pairs.join(F.broadcast(da), "ent_a")
+        .join(F.broadcast(db), "ent_b")
+        .select(
+            "ent_a",
+            "ent_b",
+            "n_common",
+            "deg_a",
+            "deg_b",
+            F.expr(
+                "CAST(n_common * 1000000 div (deg_a + deg_b - n_common) AS BIGINT)"
+            ).alias("jaccard_ppm"),
+        )
+    )
+
+
+@register(
+    "corpus_contamination",
+    _SHINGLES_CTE
+    + """,
+ds AS (SELECT DISTINCT doc_id, shingle FROM shingles),
+bench AS (SELECT DISTINCT shingle FROM ds WHERE doc_id % 50 = 0),
+train AS (SELECT * FROM ds WHERE doc_id % 50 <> 0),
+hits AS (
+  SELECT t.doc_id, CAST(count(*) AS BIGINT) AS n_hits
+  FROM train t JOIN bench b ON t.shingle = b.shingle
+  GROUP BY t.doc_id
+)
+SELECT t.doc_id,
+       CAST(count(*) AS BIGINT) AS n_shingles,
+       CAST(COALESCE(min(h.n_hits), 0) AS BIGINT) AS n_hits,
+       CAST(COALESCE(min(h.n_hits), 0) * 1000000 // count(*) AS BIGINT)
+         AS contam_ppm
+FROM train t LEFT JOIN hits h ON t.doc_id = h.doc_id
+GROUP BY t.doc_id
+""",
+)
+def q_corpus_contamination(spark, sf_dir):
+    """Benchmark-contamination screen: per training document, the
+    fraction of its trigram shingles that appear anywhere in the
+    held-out set (doc_id % 50 = 0 stands in for the benchmark corpus) —
+    the decontamination pass every serious LLM training pipeline runs
+    (n-gram collision, not embedding similarity, is the standard).
+    Plan: distinct shingles → shingle-keyed semi join against the
+    benchmark shingle set (equi join; at 100 TB the benchmark side is
+    the small one and broadcasts), one doc-keyed agg. Exact ppm."""
+    sh = shingles(spark, sf_dir).distinct().localCheckpoint()
+    bench = (
+        sh.filter(F.col("doc_id") % 50 == 0).select("shingle").distinct()
+    )
+    train = sh.filter(F.col("doc_id") % 50 != 0)
+    hits = (
+        train.join(bench, "shingle", "left_semi")
+        .groupBy("doc_id")
+        .agg(F.count("*").cast("bigint").alias("n_hits"))
+    )
+    return (
+        train.groupBy("doc_id")
+        .agg(F.count("*").cast("bigint").alias("n_shingles"))
+        .join(hits, "doc_id", "left")
+        .select(
+            "doc_id",
+            "n_shingles",
+            F.coalesce("n_hits", F.lit(0)).cast("bigint").alias("n_hits"),
+            F.expr(
+                "CAST(coalesce(n_hits, 0) * 1000000 div n_shingles AS BIGINT)"
+            ).alias("contam_ppm"),
+        )
+    )
+
+
+@register(
+    "profile_orders_columns",
+    """
+WITH o AS (
+  SELECT o_orderkey, o_custkey, o_orderstatus,
+         CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS price_cents,
+         CAST(epoch_us(o_orderdate) AS BIGINT) AS odate_us,
+         o_orderpriority
+  FROM orders
+)
+SELECT 'o_orderkey' AS col_name, CAST(count(*) AS BIGINT) AS n_rows,
+       CAST(count(*) - count(o_orderkey) AS BIGINT) AS n_nulls,
+       CAST(count(DISTINCT o_orderkey) AS BIGINT) AS n_distinct,
+       CAST(min(o_orderkey) AS VARCHAR) AS min_s, CAST(max(o_orderkey) AS VARCHAR) AS max_s
+FROM o
+UNION ALL
+SELECT 'o_custkey', count(*), count(*) - count(o_custkey),
+       count(DISTINCT o_custkey),
+       CAST(min(o_custkey) AS VARCHAR), CAST(max(o_custkey) AS VARCHAR) FROM o
+UNION ALL
+SELECT 'o_orderstatus', count(*), count(*) - count(o_orderstatus),
+       count(DISTINCT o_orderstatus), min(o_orderstatus), max(o_orderstatus) FROM o
+UNION ALL
+SELECT 'o_totalprice_cents', count(*), count(*) - count(price_cents),
+       count(DISTINCT price_cents),
+       CAST(min(price_cents) AS VARCHAR), CAST(max(price_cents) AS VARCHAR) FROM o
+UNION ALL
+SELECT 'o_orderdate_us', count(*), count(*) - count(odate_us),
+       count(DISTINCT odate_us),
+       CAST(min(odate_us) AS VARCHAR), CAST(max(odate_us) AS VARCHAR) FROM o
+UNION ALL
+SELECT 'o_orderpriority', count(*), count(*) - count(o_orderpriority),
+       count(DISTINCT o_orderpriority), min(o_orderpriority), max(o_orderpriority) FROM o
+""",
+)
+def q_profile_orders_columns(spark, sf_dir):
+    """Column-level data profiler (null rate, cardinality, min/max per
+    column) — the schema-on-read health check a lakehouse runs before
+    admitting a table. ONE scan: all per-column aggregates compute in a
+    single map-side-partial pass (doubles quantized to exact cents,
+    timestamps to unix micros, so min/max render identically across
+    engines); the per-column rows come from unpivoting the 1-row
+    aggregate, not from six scans."""
+    o = _read(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        "o_custkey",
+        "o_orderstatus",
+        F.expr("CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)").alias(
+            "price_cents"
+        ),
+        F.unix_micros(F.col("o_orderdate").cast("timestamp")).alias("odate_us"),
+        "o_orderpriority",
+    )
+    cols = [
+        ("o_orderkey", "o_orderkey", "bigint"),
+        ("o_custkey", "o_custkey", "bigint"),
+        ("o_orderstatus", "o_orderstatus", "string"),
+        ("o_totalprice_cents", "price_cents", "bigint"),
+        ("o_orderdate_us", "odate_us", "bigint"),
+        ("o_orderpriority", "o_orderpriority", "string"),
+    ]
+    aggs = [F.count("*").cast("bigint").alias("n_rows")]
+    for label, c, _ in cols:
+        aggs += [
+            (F.count("*") - F.count(c)).cast("bigint").alias(f"nn_{label}"),
+            F.countDistinct(c).cast("bigint").alias(f"nd_{label}"),
+            F.min(c).cast("string").alias(f"mn_{label}"),
+            F.max(c).cast("string").alias(f"mx_{label}"),
+        ]
+    one = o.agg(*aggs)
+    stack_args = ", ".join(
+        f"'{label}', nn_{label}, nd_{label}, mn_{label}, mx_{label}"
+        for label, _, _ in cols
+    )
+    return one.select(
+        F.expr(
+            f"stack({len(cols)}, {stack_args}) AS "
+            "(col_name, n_nulls, n_distinct, min_s, max_s)"
+        ),
+        "n_rows",
+    ).select("col_name", "n_rows", "n_nulls", "n_distinct", "min_s", "max_s")

@@ -284,3 +284,42 @@ def test_entity_frequency_approx_distinct_within_tolerance(spark):
         atc, and_ = approx[s]
         assert atc == tc  # counts stay exact — only the distinct is sketched
         assert abs(and_ - nd) <= max(2, 0.1 * nd), (s, nd, and_)
+
+
+def test_screen_stage_scrubs_and_downstream_consumes(spark, tmp_path):
+    """--screen: PII is scrubbed in the committed documents_screened
+    table, the report carries the hit count, and the sentences stage
+    consumes the SCREENED text (no raw PII downstream). The synthetic
+    corpus is PII-free, so a page with an injected email pins the
+    scrub."""
+    from easyner_spark.corpus import pages_df
+    from easyner_spark.io.catalog import CheckpointCatalog
+    from easyner_spark.pipeline import run_pipeline
+
+    pages = pages_df(spark, n_docs=60).withColumn(
+        "text",
+        # doc 000000 has non-null passthrough text in the deterministic
+        # corpus (NULL-text pages re-extract from html and would drop
+        # the injected suffix)
+        F.when(
+            F.col("url").endswith("/000000"),
+            F.concat(F.col("text"), F.lit(" contact leak@example.com now")),
+        ).otherwise(F.col("text")),
+    )
+    wh = str(tmp_path / "wh_screen")
+    report = run_pipeline(
+        spark,
+        pages,
+        wh,
+        n_batches=4,
+        stages={"documents", "screen", "sentences"},
+    )
+    assert report["documents_screened"]["pii_docs"] == 1
+    cat = CheckpointCatalog(wh)
+    screened = cat.read_stage(spark, "documents_screened")
+    hit = screened.filter(F.col("pii_total") > 0).collect()
+    assert len(hit) == 1 and "[EMAIL]" in hit[0]["text"]
+    assert "leak@example.com" not in hit[0]["text"]
+    sents = cat.read_stage(spark, "sentences")
+    assert sents.filter(F.col("text").contains("leak@example.com")).count() == 0
+    assert sents.filter(F.col("text").contains("[EMAIL]")).count() >= 1
