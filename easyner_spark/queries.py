@@ -360,21 +360,18 @@ def _two_phase_rank(agg, count_col, tie_cols, out="rnk"):
         "_r",
         F.row_number().over(W.partitionBy(count_col).orderBy(*tie_cols)),
     )
+    # offset = rows in HIGHER-count buckets, via a theta self-join over
+    # the per-bucket count table instead of an unpartitioned prefix-sum
+    # window: O(|distinct counts|²) on a Zipf-bounded aggregate, zero
+    # single-partition exchanges anywhere in the plan
+    cnts = local.groupBy(count_col).agg(F.count("*").alias("_n"))
+    higher = cnts.select(
+        F.col(count_col).alias("_k2"), F.col("_n").alias("_n2")
+    )
     offsets = (
-        local.groupBy(count_col)
-        .agg(F.count("*").alias("_n"))
-        .withColumn(
-            "_off",
-            F.coalesce(
-                F.sum("_n").over(
-                    W.orderBy(F.desc(count_col)).rowsBetween(
-                        W.unboundedPreceding, -1
-                    )
-                ),
-                F.lit(0),
-            ),
-        )
-        .select(count_col, "_off")
+        cnts.join(F.broadcast(higher), F.col("_k2") > F.col(count_col), "left")
+        .groupBy(count_col)
+        .agg(F.coalesce(F.sum("_n2"), F.lit(0)).alias("_off"))
     )
     return (
         local.join(F.broadcast(offsets), count_col)

@@ -40,16 +40,20 @@ def _dense_rank_by(df: DataFrame, key: str, out_col: str, prefix_len: int = 2) -
     Correctness: ``substring(key, 1, n)`` is weakly order-preserving
     (UTF-8 byte order == codepoint order), so global rank =
     (rows in strictly-smaller buckets) + (rank within own bucket).
-    The cumulative-offset window runs over one row per bucket —
-    bounded by alphabet², not by data size.
+    The cumulative offset is a theta self-join over the per-bucket
+    count table (one row per bucket — bounded by alphabet², not data
+    size): O(buckets²) trivially, and the plan carries NO
+    single-partition exchange at all (an unpartitioned prefix-sum
+    window would execute fine on the tiny table but plans a
+    single-partition sort — this keeps every stage hash-partitioned).
     """
     d = df.withColumn("_bkt", F.substring(F.col(key), 1, prefix_len))
-    w_off = Window.orderBy("_bkt").rowsBetween(Window.unboundedPreceding, -1)
+    cnts = d.groupBy("_bkt").agg(F.count("*").alias("_n"))
+    lower = cnts.select(F.col("_bkt").alias("_b2"), F.col("_n").alias("_n2"))
     offs = (
-        d.groupBy("_bkt")
-        .agg(F.count("*").alias("_n"))
-        .withColumn("_off", F.coalesce(F.sum("_n").over(w_off), F.lit(0)))
-        .drop("_n")
+        cnts.join(F.broadcast(lower), F.col("_b2") < F.col("_bkt"), "left")
+        .groupBy("_bkt")
+        .agg(F.coalesce(F.sum("_n2"), F.lit(0)).alias("_off"))
     )
     w_in = Window.partitionBy("_bkt").orderBy(key)
     return (

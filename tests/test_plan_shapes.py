@@ -149,9 +149,13 @@ def test_frequency_ranks_window_by_count_bucket(spark):
     straggler task at web scale."""
     from easyner_spark.queries import QUERIES
 
-    for name in ("kg_entity_frequency", "kg_id_frequency"):
+    for name in ("kg_entity_frequency", "kg_id_frequency", "kg_triple_counts"):
         plan = _plan(QUERIES[name](spark, SF_DIR))
-        assert "hashpartitioning(total_count" in plan, name
+        bucket = "total_count" if name != "kg_triple_counts" else "n_cooccur"
+        assert f"hashpartitioning({bucket}" in plan, name
+        # the offset side is a theta self-join over the Zipf-bounded
+        # per-bucket count table — NO single-partition exchange anywhere
+        assert "Exchange SinglePartition" not in plan, name
 
 
 def test_scalar_count_queries_are_lazy(spark):
