@@ -4156,3 +4156,143 @@ def q_profile_orders_columns(spark, sf_dir):
         ),
         "n_rows",
     ).select("col_name", "n_rows", "n_nulls", "n_distinct", "min_s", "max_s")
+
+
+@register(
+    "tpch_priority_late_ship",
+    """
+SELECT o.o_orderpriority,
+       CAST(count(*) AS BIGINT) AS n_orders
+FROM orders o
+WHERE o.o_orderdate >= TIMESTAMP '1996-01-01'
+  AND o.o_orderdate < TIMESTAMP '1997-01-01'
+  AND EXISTS (
+    SELECT 1 FROM lineitem l
+    WHERE l.l_orderkey = o.o_orderkey AND l.l_shipdate > o.o_orderdate
+  )
+GROUP BY o.o_orderpriority
+""",
+)
+def q_tpch_priority_late_ship(spark, sf_dir):
+    """TPC-H Q4 planning shape (adapted to this star's columns): a
+    date-range scan with a correlated EXISTS decorrelated into a LEFT
+    SEMI hash join on (orderkey + ship-after-order predicate), then a
+    low-cardinality priority rollup. Catalyst pushes the date range to
+    the parquet scan and plans the semi join hash-partitioned on
+    l_orderkey — the existence probe never materializes matched
+    lineitem rows."""
+    o = _read(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= "1996-01-01")
+        & (F.col("o_orderdate") < "1997-01-01")
+    )
+    l = _read(spark, sf_dir, "lineitem").select("l_orderkey", "l_shipdate")
+    sem = o.join(
+        l,
+        (F.col("o_orderkey") == F.col("l_orderkey"))
+        & (F.col("l_shipdate") > F.col("o_orderdate")),
+        "left_semi",
+    )
+    return sem.groupBy("o_orderpriority").agg(
+        F.count("*").cast("bigint").alias("n_orders")
+    )
+
+
+@register(
+    "train_corpus_curated",
+    _SHINGLES_CTE.replace("WITH ", "WITH RECURSIVE ", 1)
+    + f""",
+sigs AS (
+  SELECT doc_id, {_minhash_sig_exprs_sql()}
+  FROM shingles GROUP BY doc_id
+),
+bands AS (
+  SELECT doc_id, unnest([md5(h0 || h1 || h2 || h3), md5(h4 || h5 || h6 || h7)]) AS band_hash,
+         unnest([0, 1]) AS band_id
+  FROM sigs
+),
+pairs AS (
+  SELECT DISTINCT a.doc_id AS src, b.doc_id AS dst
+  FROM bands a JOIN bands b
+    ON a.band_hash = b.band_hash AND a.band_id = b.band_id AND a.doc_id < b.doc_id
+),
+edges AS (
+  SELECT src AS u, dst AS v FROM pairs
+  UNION SELECT dst, src FROM pairs
+),
+reach(node, label) AS (
+  SELECT u, u FROM edges
+  UNION
+  SELECT e.v, r.label FROM reach r JOIN edges e ON e.u = r.node
+),
+comp AS (SELECT node, min(label) AS component FROM reach GROUP BY node),
+quality AS (
+  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+         CAST(count(DISTINCT token) AS BIGINT) AS nd
+  FROM toks GROUP BY doc_id
+),
+ds AS (SELECT DISTINCT doc_id, shingle FROM shingles),
+bench AS (SELECT DISTINCT shingle FROM ds WHERE doc_id % 50 = 0),
+train AS (SELECT * FROM ds WHERE doc_id % 50 <> 0),
+hits AS (
+  SELECT t.doc_id, CAST(count(*) AS BIGINT) AS n_hits
+  FROM train t JOIN bench b ON t.shingle = b.shingle
+  GROUP BY t.doc_id
+),
+contam AS (
+  SELECT t.doc_id,
+         CAST(COALESCE(min(h.n_hits), 0) * 1000000 // count(*) AS BIGINT)
+           AS contam_ppm
+  FROM train t LEFT JOIN hits h ON t.doc_id = h.doc_id
+  GROUP BY t.doc_id
+)
+SELECT q.doc_id, q.n_tokens,
+       CAST(q.nd * 1000000 // q.n_tokens AS BIGINT) AS ttr_ppm,
+       CAST(COALESCE(c.contam_ppm, 0) AS BIGINT) AS contam_ppm
+FROM quality q LEFT JOIN contam c ON q.doc_id = c.doc_id
+WHERE q.doc_id % 50 <> 0
+  AND NOT EXISTS (SELECT 1 FROM comp m
+                  WHERE m.node = q.doc_id AND m.component < q.doc_id)
+  AND q.n_tokens >= 20
+  AND q.nd * 1000000 // q.n_tokens >= 300000
+  AND COALESCE(c.contam_ppm, 0) < 500000
+""",
+)
+def q_train_corpus_curated(spark, sf_dir):
+    """The END-TO-END curation gate — the single query a training-data
+    pipeline runs to admit documents into a shard: (1) held-out docs
+    excluded (doc_id % 50 = 0 is the benchmark stand-in), (2) near-dup
+    clusters keep only their canonical (min-id) member — MinHash-LSH
+    pairs → connected components, (3) quality floor (≥20 tokens,
+    type-token ratio ≥ 0.30 as exact integer ppm), (4) benchmark
+    contamination < 50% of shingles. Every sub-signal is itself an
+    oracle-gated operator (dedup_components, doc_quality_scores,
+    corpus_contamination); this composes them with all-integer
+    predicates so the admitted set is engine- and layout-invariant.
+    Plan: the component/quality/contamination branches each shuffle on
+    doc_id, then broadcast-free equi/anti joins on doc_id — at 100 TB
+    every branch is the already-committed stage table."""
+    comp = QUERIES["dedup_components"](spark, sf_dir)
+    dupes = comp.filter(F.col("component") < F.col("doc_id")).select("doc_id")
+    quality = tokens(spark, sf_dir).groupBy("doc_id").agg(
+        F.count("*").cast("bigint").alias("n_tokens"),
+        F.countDistinct("token").cast("bigint").alias("nd"),
+    )
+    contam = QUERIES["corpus_contamination"](spark, sf_dir).select(
+        "doc_id", "contam_ppm"
+    )
+    return (
+        quality.filter(F.col("doc_id") % 50 != 0)
+        .join(dupes, "doc_id", "left_anti")
+        .join(contam, "doc_id", "left")
+        .select(
+            "doc_id",
+            "n_tokens",
+            F.expr("CAST(nd * 1000000 div n_tokens AS BIGINT)").alias("ttr_ppm"),
+            F.coalesce("contam_ppm", F.lit(0)).cast("bigint").alias("contam_ppm"),
+        )
+        .filter(
+            (F.col("n_tokens") >= 20)
+            & (F.col("ttr_ppm") >= 300_000)
+            & (F.col("contam_ppm") < 500_000)
+        )
+    )

@@ -69,19 +69,9 @@ def minhash_signatures(
     )
 
 
-def lsh_candidate_pairs(
-    signatures: DataFrame,
-    id_col: str = "ent_id",
-    num_bands: int = 4,
-    max_bucket: int = 256,
-) -> DataFrame:
-    """Banded LSH: → (src, dst) candidate pairs (src < dst).
-
-    Buckets over ``max_bucket`` are salted into sub-buckets before the
-    self-join so a single hot bucket can never produce more than
-    ~max_bucket² pairs.
-    """
-    bands = signatures.select(
+def _bands(signatures: DataFrame, id_col: str, num_bands: int) -> DataFrame:
+    """→ (id_col, band_idx, band_hash): one row per signature band."""
+    return signatures.select(
         id_col,
         F.posexplode(
             F.expr(
@@ -91,8 +81,14 @@ def lsh_candidate_pairs(
             )
         ).alias("band_idx", "band_hash"),
     )
+
+
+def _salted(bands: DataFrame, id_col: str, max_bucket: int) -> DataFrame:
+    """Append the hot-bucket salt column (bucket counts from ``bands``
+    itself): buckets over ``max_bucket`` split into sub-buckets so one
+    hot bucket can never produce more than ~max_bucket² pairs."""
     sizes = bands.groupBy("band_idx", "band_hash").agg(F.count("*").alias("cnt"))
-    bands = bands.join(sizes, ["band_idx", "band_hash"]).withColumn(
+    return bands.join(sizes, ["band_idx", "band_hash"]).withColumn(
         "salt",
         F.when(
             F.col("cnt") > max_bucket,
@@ -106,6 +102,16 @@ def lsh_candidate_pairs(
             ),
         ).otherwise(F.lit(0)),
     )
+
+
+def lsh_candidate_pairs(
+    signatures: DataFrame,
+    id_col: str = "ent_id",
+    num_bands: int = 4,
+    max_bucket: int = 256,
+) -> DataFrame:
+    """Banded LSH: → (src, dst) candidate pairs (src < dst)."""
+    bands = _salted(_bands(signatures, id_col, num_bands), id_col, max_bucket)
     a = bands.select(
         F.col(id_col).alias("src"), "band_idx", "band_hash", "salt"
     ).alias("a")
@@ -116,6 +122,53 @@ def lsh_candidate_pairs(
         a.join(b, ["band_idx", "band_hash", "salt"])
         .filter(F.col("src") < F.col("dst"))
         .select("src", "dst")
+        .distinct()
+    )
+
+
+def incremental_lsh_candidates(
+    new_sigs: DataFrame,
+    corpus_sigs: DataFrame,
+    id_col: str = "ent_id",
+    num_bands: int = 4,
+    max_bucket: int = 256,
+) -> DataFrame:
+    """Epoch-ingest near-dup candidates: pairs touching at least one
+    NEW document — new×new plus new×corpus, never corpus×corpus (those
+    pairs were emitted when their epochs arrived).
+
+    This is the join shape that makes web-scale dedup sustainable: a
+    daily epoch probes the committed signature table, so the cost is
+    O(epoch × corpus-bucket-overlap) instead of re-running the corpus²
+    self-join every ingest. ``corpus_sigs`` is the committed signature
+    stage (signatures are content-derived, so re-computing an old doc's
+    signature is never needed); at 100 TB it stays partitioned by band
+    hash and the epoch side shuffles to it.
+
+    Semantics: identical to filtering the FULL self-join's output down
+    to pairs with a new member (verified in tests); bucket salting uses
+    the combined (corpus+new) bucket counts, so hot-bucket behavior
+    matches the full run.
+    """
+    nb = _bands(new_sigs, id_col, num_bands)
+    cb = _bands(corpus_sigs, id_col, num_bands)
+    allb = _salted(
+        cb.withColumn("_new", F.lit(0)).unionByName(
+            nb.withColumn("_new", F.lit(1))
+        ),
+        id_col,
+        max_bucket,
+    )
+    probe = allb.filter(F.col("_new") == 1).select(
+        F.col(id_col).alias("_a"), "band_idx", "band_hash", "salt"
+    )
+    build = allb.select(F.col(id_col).alias("_b"), "band_idx", "band_hash", "salt")
+    return (
+        probe.join(build, ["band_idx", "band_hash", "salt"])
+        .filter(F.col("_a") != F.col("_b"))
+        .select(
+            F.least("_a", "_b").alias("src"), F.greatest("_a", "_b").alias("dst")
+        )
         .distinct()
     )
 

@@ -98,3 +98,39 @@ def test_minhash_signature_shape(spark):
     )
     rows = {r["ent_id"]: r["sig"] for r in minhash_signatures(ents, num_hashes=6).collect()}
     assert len(rows["A"]) == 6 and len(rows["B"]) == 6
+
+
+def test_incremental_lsh_matches_filtered_full_join(spark):
+    """incremental_lsh_candidates(new, corpus) must equal the FULL
+    self-join's pairs restricted to those touching a new id — the
+    epoch-ingest contract (new×new + new×corpus, no corpus×corpus)."""
+    from easyner_spark.stages.canonical import (
+        incremental_lsh_candidates,
+        lsh_candidate_pairs,
+        minhash_signatures,
+    )
+
+    # three alias families so bands collide across the corpus/new split
+    names = [
+        (f"E{i}", f"acute syndrome variant {i % 3}") for i in range(30)
+    ]
+    ents = spark.createDataFrame(names, "ent_id string, name string")
+    sigs = minhash_signatures(ents).localCheckpoint()
+    corpus = sigs.filter(F.col("ent_id") < "E2")   # lexicographic split
+    new = sigs.filter(F.col("ent_id") >= "E2")
+    new_ids = {r["ent_id"] for r in new.select("ent_id").collect()}
+
+    full = {
+        (r["src"], r["dst"])
+        for r in lsh_candidate_pairs(sigs, max_bucket=10_000).collect()
+    }
+    expected = {p for p in full if p[0] in new_ids or p[1] in new_ids}
+    got = {
+        (r["src"], r["dst"])
+        for r in incremental_lsh_candidates(
+            new, corpus, max_bucket=10_000
+        ).collect()
+    }
+    assert got == expected
+    # and the corpus-only pairs really were excluded
+    assert any(p not in got for p in full - expected) or not (full - expected)
