@@ -145,6 +145,15 @@ class CheckpointCatalog:
           reference's skip-existing-file semantics).
         """
         done = self.committed_batches(stage)
+        # stamp the frame schema for any stage that has a manifest:
+        # read_stage needs it to serve a typed EMPTY frame after a full
+        # retraction, including manifests written before schema stamping
+        # existed and runs that retract without writing new data
+        if done:
+            man = self._load_manifest(stage)
+            if "schema" not in man:
+                man["schema"] = df.schema.json()
+                self._store_manifest(stage, man)
         pending = df
         if done and resume_mode == "skip_committed":
             # partition-pruned resume filter (pushed into the scan)
@@ -251,13 +260,24 @@ class CheckpointCatalog:
     def read_stage(self, spark: SparkSession, stage: str) -> DataFrame:
         done = self.committed_batches(stage)
         if not done:
-            schema_json = self._load_manifest(stage).get("schema")
+            man = self._load_manifest(stage)
+            schema_json = man.get("schema")
             if schema_json is not None:
                 from pyspark.sql.types import StructType
 
                 return spark.createDataFrame(
                     [], StructType.fromJson(json.loads(schema_json))
                 )
+            if man["snapshots"]:
+                # fully-retracted pre-schema-stamp manifest: no data
+                # files and no recorded schema — a clear error beats an
+                # UNABLE_TO_INFER_SCHEMA from the raw parquet read
+                raise ValueError(
+                    f"stage '{stage}' is fully retracted and its manifest "
+                    "predates schema stamping; re-commit the stage (any "
+                    "write_stage call stamps the schema)"
+                )
+            raise ValueError(f"stage '{stage}' was never committed")
         df = spark.read.parquet(self._stage_dir(stage))
         # only committed partitions are visible (a crashed write's orphan
         # partition directories are filtered out = snapshot isolation)

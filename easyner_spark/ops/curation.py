@@ -18,9 +18,11 @@ Pattern notes (deliberately conservative):
 * ipv4 — four 1-3 digit octets, word-bounded (no range check: a
   curation screen prefers false positives over leaks);
 * ssn — the hyphenated 3-2-4 US form only;
-* phone — an international-ish +/digit prefix followed by 7+ digits
-  with common separators; anchored on digits at both ends so trailing
-  punctuation stays out of the match.
+* phone — either an E.164-style +7-15 digit run, or a three-group
+  separated form (2-4 / 3-4 / 3-4 digits) so year ranges ("1914-1918"),
+  decimals ("3.1415926"), spaced thousands ("1 000 000") and SSNs (the
+  3-2-4 shape) do NOT match — a looser "digits with separators" rule
+  redacted ordinary numeric prose and double-counted SSNs.
 """
 
 from __future__ import annotations
@@ -31,7 +33,7 @@ PII_PATTERNS: dict[str, str] = {
     "email": r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}",
     "ipv4": r"\b([0-9]{1,3}\.){3}[0-9]{1,3}\b",
     "ssn": r"\b[0-9]{3}-[0-9]{2}-[0-9]{4}\b",
-    "phone": r"\+?[0-9][0-9()\-\s.]{5,}[0-9]{2}",
+    "phone": r"(\+[0-9]{7,15}\b|\+?\(?[0-9]{2,4}\)?[-. ][0-9]{3,4}[-. ][0-9]{3,4}\b)",
 }
 
 # scrub order matters: specific → general, so an SSN is tagged [SSN]

@@ -109,7 +109,12 @@ def run_pipeline(
             row.asDict() for row in audit_hashes(docs).orderBy("batch_id").collect()
         ][:8]
 
-    if "screen" in want:
+    # the screen is STICKY per warehouse: once documents_screened has
+    # ever been committed here, every later run re-screens — otherwise
+    # a re-run without --screen would rebuild sentences from the RAW
+    # documents table and re-expose scrubbed PII downstream while
+    # documents_screened still claims the corpus was scrubbed.
+    if "screen" in want or cat.committed_batches("documents_screened"):
         # opt-in PII screen (ops/curation.py): scrub matches in place
         # and keep the per-doc count for routing/reporting. A narrow
         # whole-stage-codegen projection — no shuffle beyond the commit.

@@ -4002,11 +4002,14 @@ def q_kg_graph_node_jaccard(spark, sf_dir):
         .agg(F.count("*").cast("bigint").alias("n_common"))
         .filter(F.col("n_common") >= 2)
     )
+    # plain shuffled hash joins: the degree table is one row per NODE —
+    # an unbounded dimension a forced broadcast would ship whole to
+    # every executor at web scale
     da = deg.select(F.col("u").alias("ent_a"), F.col("d").alias("deg_a"))
     db = deg.select(F.col("u").alias("ent_b"), F.col("d").alias("deg_b"))
     return (
-        pairs.join(F.broadcast(da), "ent_a")
-        .join(F.broadcast(db), "ent_b")
+        pairs.join(da, "ent_a")
+        .join(db, "ent_b")
         .select(
             "ent_a",
             "ent_b",

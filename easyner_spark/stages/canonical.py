@@ -152,10 +152,17 @@ def incremental_lsh_candidates(
     """
     nb = _bands(new_sigs, id_col, num_bands)
     cb = _bands(corpus_sigs, id_col, num_bands)
+    # a re-ingested doc (same id, unchanged content) appears in BOTH
+    # inputs with identical band rows — collapse to one member tagged
+    # new (max), otherwise its duplicate rows inflate bucket counts and
+    # salting diverges from the full self-join's. A re-crawl whose
+    # content CHANGED has different band hashes and legitimately keeps
+    # both versions as distinct bucket members.
     allb = _salted(
-        cb.withColumn("_new", F.lit(0)).unionByName(
-            nb.withColumn("_new", F.lit(1))
-        ),
+        cb.withColumn("_new", F.lit(0))
+        .unionByName(nb.withColumn("_new", F.lit(1)))
+        .groupBy(id_col, "band_idx", "band_hash")
+        .agg(F.max("_new").alias("_new")),
         id_col,
         max_bucket,
     )

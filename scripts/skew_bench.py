@@ -86,20 +86,22 @@ def asof_main(args) -> None:
 
 def main() -> None:
     ap = argparse.ArgumentParser()
-    ap.add_argument("--n", type=int, default=20_000)
-    ap.add_argument("--hot-frac", type=float, default=0.3)
+    # defaults are None so an explicitly-passed value is never mistaken
+    # for "use the per-mode default" (the two modes default differently)
+    ap.add_argument("--n", type=int, default=None)
+    ap.add_argument("--hot-frac", type=float, default=None)
     ap.add_argument("--max-bucket", type=int, default=256)
     ap.add_argument("--asof", action="store_true")
     ap.add_argument("--salt", type=int, default=32)
     args = ap.parse_args()
 
     if args.asof:
-        if args.n == 20_000:
-            args.n = 4_000_000
-        if args.hot_frac == 0.3:
-            args.hot_frac = 0.9
+        args.n = args.n if args.n is not None else 4_000_000
+        args.hot_frac = args.hot_frac if args.hot_frac is not None else 0.9
         asof_main(args)
         return
+    args.n = args.n if args.n is not None else 20_000
+    args.hot_frac = args.hot_frac if args.hot_frac is not None else 0.3
 
     from easyner_spark.session import get_spark
     from easyner_spark.stages.canonical import (

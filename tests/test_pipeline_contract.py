@@ -323,3 +323,31 @@ def test_screen_stage_scrubs_and_downstream_consumes(spark, tmp_path):
     sents = cat.read_stage(spark, "sentences")
     assert sents.filter(F.col("text").contains("leak@example.com")).count() == 0
     assert sents.filter(F.col("text").contains("[EMAIL]")).count() >= 1
+
+
+def test_screen_is_sticky_on_rerun_without_flag(spark, tmp_path):
+    """A re-run WITHOUT --screen on a screened warehouse must re-screen
+    (sticky), not rebuild sentences from raw documents — the PII
+    re-exposure path found in review."""
+    from easyner_spark.corpus import pages_df
+    from easyner_spark.io.catalog import CheckpointCatalog
+    from easyner_spark.pipeline import run_pipeline
+
+    pages = pages_df(spark, n_docs=60).withColumn(
+        "text",
+        F.when(
+            F.col("url").endswith("/000000"),
+            F.concat(F.col("text"), F.lit(" contact leak@example.com now")),
+        ).otherwise(F.col("text")),
+    )
+    wh = str(tmp_path / "wh_sticky")
+    run_pipeline(spark, pages, wh, n_batches=4,
+                 stages={"documents", "screen", "sentences"})
+    # re-run the default stage set (no 'screen'): sentences must STILL
+    # come from the screened table
+    run_pipeline(spark, pages, wh, n_batches=4,
+                 stages={"documents", "sentences"})
+    cat = CheckpointCatalog(wh)
+    sents = cat.read_stage(spark, "sentences")
+    assert sents.filter(F.col("text").contains("leak@example.com")).count() == 0
+    assert sents.filter(F.col("text").contains("[EMAIL]")).count() >= 1
