@@ -4299,3 +4299,43 @@ def q_train_corpus_curated(spark, sf_dir):
             & (F.col("contam_ppm") < 500_000)
         )
     )
+
+
+@register(
+    "tpch_cust_order_distribution",
+    """
+SELECT c_count, CAST(count(*) AS BIGINT) AS n_cust
+FROM (
+  SELECT c.c_custkey, CAST(count(o.o_orderkey) AS BIGINT) AS c_count
+  FROM customer c LEFT JOIN orders o
+    ON c.c_custkey = o.o_custkey AND o.o_orderpriority <> '1-URGENT'
+  GROUP BY c.c_custkey
+) t
+GROUP BY c_count
+""",
+)
+def q_tpch_cust_order_distribution(spark, sf_dir):
+    """TPC-H Q13 planning shape: outer join with a join-side predicate
+    (the filter belongs ON the join, not under it — a WHERE would turn
+    the left join inner and drop zero-order customers), then a
+    two-level count-of-counts histogram. Catalyst plans the left outer
+    hash join on custkey and both aggregations map-side partial; the
+    zero-order customers ride the NULL-extension, exactly the
+    customer-distribution report shape."""
+    c = _read(spark, sf_dir, "customer").select("c_custkey")
+    o = _read(spark, sf_dir, "orders").select(
+        "o_custkey", "o_orderkey", "o_orderpriority"
+    )
+    per_cust = (
+        c.join(
+            o,
+            (F.col("c_custkey") == F.col("o_custkey"))
+            & (F.col("o_orderpriority") != "1-URGENT"),
+            "left",
+        )
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").cast("bigint").alias("c_count"))
+    )
+    return per_cust.groupBy("c_count").agg(
+        F.count("*").cast("bigint").alias("n_cust")
+    )

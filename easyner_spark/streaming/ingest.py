@@ -61,6 +61,72 @@ def read_page_stream(
     return raw.withWatermark("warc_ts", watermark).dropDuplicates(["url", "warc_ts"])
 
 
+def epoch_dedup_pairs(
+    spark: SparkSession,
+    warehouse: str,
+    epoch_docs: DataFrame,
+    max_bucket: int = 256,
+    sig_stage: str = "minhash_sigs",
+) -> DataFrame:
+    """Incremental near-dup pass for one ingest epoch: signature the
+    NEW documents, probe the committed corpus signature stage, commit
+    the new signatures, and return the candidate pairs touching the
+    epoch (new×new + new×corpus — corpus×corpus was emitted by earlier
+    epochs; stages/canonical.py:incremental_lsh_candidates).
+
+    This is the join shape that keeps web-scale dedup sustainable: each
+    epoch costs O(epoch × bucket overlap), not corpus². The signature
+    stage is append-only per batch_id (content-derived signatures never
+    need recompute); callers feed the returned pairs into connected
+    components against previously-emitted pairs to maintain clusters.
+
+    The returned frame is materialized (localCheckpoint) BEFORE the new
+    signatures are committed, so the probe sees the pre-epoch corpus —
+    calling this twice for one epoch would otherwise self-pair against
+    the first call's commit.
+    """
+    from ..stages.canonical import (
+        incremental_lsh_candidates,
+        lsh_candidate_pairs,
+        minhash_signatures,
+    )
+
+    cat = CheckpointCatalog(warehouse)
+    new_sigs = (
+        minhash_signatures(epoch_docs, id_col="doc_id", name_col="text")
+        .select(
+            "doc_id",
+            "sig",
+            F.pmod(F.xxhash64("doc_id"), F.lit(64)).cast("int").alias("batch_id"),
+        )
+    )
+    if cat.committed_batches(sig_stage):
+        corpus = cat.read_stage(spark, sig_stage).select("doc_id", "sig")
+        pairs = incremental_lsh_candidates(
+            new_sigs, corpus, id_col="doc_id", max_bucket=max_bucket
+        ).localCheckpoint()
+        cat.write_stage(
+            corpus.withColumn(
+                "batch_id",
+                F.pmod(F.xxhash64("doc_id"), F.lit(64)).cast("int"),
+            )
+            .unionByName(new_sigs)
+            # a re-ingested doc with UNCHANGED content collapses to one
+            # row; changed content keeps both versions (both remain
+            # legitimate near-dup cluster members)
+            .dropDuplicates(["doc_id", "sig"]),
+            sig_stage,
+        )
+    else:
+        pairs = lsh_candidate_pairs(
+            new_sigs, id_col="doc_id", max_bucket=max_bucket
+        ).localCheckpoint()
+        cat.write_stage(new_sigs, sig_stage)
+    return pairs.select(
+        F.col("src").alias("doc_a"), F.col("dst").alias("doc_b")
+    )
+
+
 def start_ingest(
     spark: SparkSession,
     input_dir: str,

@@ -136,3 +136,39 @@ def test_stream_canonical_url_dedup(spark, dirs):
     # 2 canonical pages, not 4 raw variants — and no utm/trailing-slash
     assert len(rows) == 2
     assert all("utm_" not in r["url"] and not r["url"].endswith("/") for r in rows)
+
+
+def test_epoch_dedup_pairs_incremental(spark, tmp_path):
+    """Two ingest epochs through epoch_dedup_pairs: epoch-1 pairs are
+    the self-join of epoch 1; epoch-2 pairs touch epoch-2 docs only
+    (new x new + new x corpus, never re-emitting corpus x corpus); the
+    committed signature stage accumulates both epochs."""
+    from easyner_spark.io.catalog import CheckpointCatalog
+    from easyner_spark.streaming.ingest import epoch_dedup_pairs
+
+    wh = str(tmp_path / "wh_epochdedup")
+    mk = lambda rows: spark.createDataFrame(rows, "doc_id long, text string")
+    # near-dup families: docs sharing long normalized text collide
+    e1 = mk([
+        (1, "the quick brown fox jumps over the lazy dog again and again"),
+        (2, "the quick brown fox jumps over the lazy dog again and again"),
+        (3, "completely unrelated web page about database engines entirely"),
+    ])
+    p1 = {(r["doc_a"], r["doc_b"]) for r in
+          epoch_dedup_pairs(spark, wh, e1).collect()}
+    assert (1, 2) in p1 and all(a != b for a, b in p1)
+
+    e2 = mk([
+        (4, "the quick brown fox jumps over the lazy dog again and again"),
+        (5, "fresh never-seen text with no duplicate partner anywhere here"),
+    ])
+    p2 = {(r["doc_a"], r["doc_b"]) for r in
+          epoch_dedup_pairs(spark, wh, e2).collect()}
+    # every epoch-2 pair touches a new doc; the old (1,2) pair is NOT re-emitted
+    assert all(4 in p or 5 in p for p in p2)
+    assert (1, 2) not in p2
+    assert (1, 4) in p2 and (2, 4) in p2  # new doc linked to its corpus dups
+
+    cat = CheckpointCatalog(wh)
+    sigs = cat.read_stage(spark, "minhash_sigs")
+    assert {r["doc_id"] for r in sigs.select("doc_id").collect()} == {1, 2, 3, 4, 5}
