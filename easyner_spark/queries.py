@@ -4339,3 +4339,44 @@ def q_tpch_cust_order_distribution(spark, sf_dir):
     return per_cust.groupBy("c_count").agg(
         F.count("*").cast("bigint").alias("n_cust")
     )
+
+
+@register(
+    "kg_entity_trend",
+    _MENTIONS_CTE
+    + """,
+per_batch AS (
+  SELECT surface, batch_id, CAST(count(*) AS BIGINT) AS n
+  FROM mentions GROUP BY surface, batch_id
+)
+SELECT surface, batch_id, n,
+       CAST(COALESCE(n - lag(n) OVER (PARTITION BY surface ORDER BY batch_id),
+                     n) AS BIGINT) AS delta,
+       CAST(ROW_NUMBER() OVER (PARTITION BY batch_id ORDER BY n DESC, surface)
+            AS BIGINT) AS rnk_in_batch
+FROM per_batch
+""",
+)
+def q_kg_entity_trend(spark, sf_dir):
+    """Trending entities: per (surface, ingest batch) mention counts
+    with the batch-over-batch delta (lag window PARTITIONED BY surface
+    — per-key state, never global) and the within-batch rank — the
+    "what surged this crawl" serving query a KG dashboard runs. Both
+    windows are hash-partitioned (by surface / by batch); at web scale
+    batch_id is the time slice and the per-batch rank is bounded by
+    distinct surfaces per slice."""
+    m = mentions(spark, sf_dir)
+    per_batch = m.groupBy("surface", "batch_id").agg(
+        F.count("*").cast("bigint").alias("n")
+    )
+    w_lag = W.partitionBy("surface").orderBy("batch_id")
+    w_rnk = W.partitionBy("batch_id").orderBy(F.desc("n"), "surface")
+    return per_batch.select(
+        "surface",
+        "batch_id",
+        "n",
+        F.coalesce(
+            F.col("n") - F.lag("n").over(w_lag), F.col("n")
+        ).cast("bigint").alias("delta"),
+        F.row_number().over(w_rnk).cast("bigint").alias("rnk_in_batch"),
+    )
