@@ -114,6 +114,12 @@ def run_bench(sf_dir: str, cpus: str, n_corpus_docs: int | None = None) -> dict:
         "events_asof_purchase",
         "events_interval_overlap",
         "web_url_canonical",
+        # round-3 curation/retrieval families
+        "corpus_contamination",
+        "train_corpus_curated",
+        "events_funnel",
+        "search_bm25_lite",
+        "text_bigram_lm",
     ]
     for name in headline:
         # min of two runs: this VM shows sporadic multi-second scheduler
