@@ -132,15 +132,47 @@ def run_pipeline(
             F.col("pii_total") > 0
         ).count()
 
+    # near-dup document dedup (same stickiness rule as the screen): the
+    # canonical member (min doc_id) of every MinHash-LSH component is
+    # kept, other members dropped BEFORE sentence splitting — the
+    # curation order a training pipeline uses (dedup before the
+    # expensive UDF stages, so duplicates never pay NER cost).
+    if "dedup" in want or cat.committed_batches("documents_deduped"):
+        from .stages.canonical import (
+            connected_components,
+            lsh_candidate_pairs,
+            minhash_signatures,
+            signature_similarity_filter,
+        )
+
+        docs = docs if docs is not None else need("documents", "dedup")
+        sigs = minhash_signatures(docs, id_col="doc_id", name_col="text")
+        # LSH emits CANDIDATES (band collisions); verify with the
+        # MinHash-agreement estimate before clustering — without the
+        # filter, same-vocabulary pages chain into mega-components and
+        # dedup drops distinct documents
+        cand = lsh_candidate_pairs(sigs, id_col="doc_id")
+        pairs = signature_similarity_filter(
+            cand, sigs, id_col="doc_id", min_agreement=0.9
+        ).select("src", "dst")
+        comp = connected_components(pairs)
+        dupes = comp.filter(F.col("component") < F.col("node")).select(
+            F.col("node").alias("doc_id")
+        )
+        deduped = docs.join(dupes, "doc_id", "left_anti")
+        docs = commit("documents_deduped", deduped)
+
     if "sentences" in want:
         if docs is None:
-            # prefer the screened table when that stage was committed in
-            # an earlier invocation of this warehouse
-            docs = (
-                cat.read_stage(spark, "documents_screened")
-                if cat.committed_batches("documents_screened")
-                else need("documents", "sentences")
-            )
+            # prefer the curated tables when those stages were committed
+            # in an earlier invocation of this warehouse (dedup runs
+            # after screen, so it is the most-curated table available)
+            for stage_name in ("documents_deduped", "documents_screened"):
+                if cat.committed_batches(stage_name):
+                    docs = cat.read_stage(spark, stage_name)
+                    break
+            else:
+                docs = need("documents", "sentences")
         sents = commit("sentences", split_documents(docs))
     # NOTE: conflict resolution (J3) applies to MULTI-run merges only
     # (reference: entity_merger2.py post-processes merged class runs);
@@ -310,6 +342,14 @@ def main() -> None:
         "commit the screened table; downstream stages consume it",
     )
     ap.add_argument(
+        "--dedup-docs",
+        action="store_true",
+        help="opt-in near-dup document dedup before sentence splitting: "
+        "MinHash-LSH pairs -> connected components, keep each "
+        "component's canonical (min doc_id) member; commits "
+        "documents_deduped and downstream stages consume it",
+    )
+    ap.add_argument(
         "--analysis-approx",
         action="store_true",
         help="articles_spanned via HyperLogLog++ instead of exact "
@@ -327,14 +367,14 @@ def main() -> None:
         else pages_df(spark, n_docs=args.n_docs)
     )
     stages = set(args.stages.split(",")) if args.stages else None
-    if args.screen:
-        if stages is None:
-            stages = {
-                "documents", "screen", "sentences", "mentions", "linked",
-                "canonical", "triples", "graph", "analysis",
-            }
-        else:
-            stages.add("screen")
+    for flag, stage in ((args.screen, "screen"), (args.dedup_docs, "dedup")):
+        if flag:
+            if stages is None:
+                stages = {
+                    "documents", "sentences", "mentions", "linked",
+                    "canonical", "triples", "graph", "analysis",
+                }
+            stages.add(stage)
     report = run_pipeline(
         spark,
         pages,
