@@ -110,11 +110,16 @@ def run_pipeline(
         ][:8]
 
     # the screen is STICKY per warehouse: once documents_screened has
-    # ever been committed here, every later run re-screens — otherwise
-    # a re-run without --screen would rebuild sentences from the RAW
-    # documents table and re-expose scrubbed PII downstream while
-    # documents_screened still claims the corpus was scrubbed.
-    if "screen" in want or cat.committed_batches("documents_screened"):
+    # ever been committed here, every later run that REBUILDS a
+    # documents consumer re-screens — otherwise a re-run without
+    # --screen would rebuild sentences from the RAW documents table and
+    # re-expose scrubbed PII downstream while documents_screened still
+    # claims the corpus was scrubbed. Runs that touch no documents
+    # consumer (e.g. --stages graph) skip the recompute entirely.
+    docs_consumer = bool({"sentences", "screen", "dedup"} & want)
+    if "screen" in want or (
+        docs_consumer and cat.committed_batches("documents_screened")
+    ):
         # opt-in PII screen (ops/curation.py): scrub matches in place
         # and keep the per-doc count for routing/reporting. A narrow
         # whole-stage-codegen projection — no shuffle beyond the commit.
@@ -137,7 +142,9 @@ def run_pipeline(
     # kept, other members dropped BEFORE sentence splitting — the
     # curation order a training pipeline uses (dedup before the
     # expensive UDF stages, so duplicates never pay NER cost).
-    if "dedup" in want or cat.committed_batches("documents_deduped"):
+    if "dedup" in want or (
+        docs_consumer and cat.committed_batches("documents_deduped")
+    ):
         from .stages.canonical import (
             connected_components,
             lsh_candidate_pairs,
@@ -146,7 +153,13 @@ def run_pipeline(
         )
 
         docs = docs if docs is not None else need("documents", "dedup")
-        sigs = minhash_signatures(docs, id_col="doc_id", name_col="text")
+        # materialize once: the corpus-wide MinHash aggregate fans out
+        # to ~5 consumers (band self-join sides, bucket counts, both
+        # similarity-filter sides) and Catalyst does not dedupe the
+        # logical subtrees (CLAUDE.md shared-aggregate rule)
+        sigs = minhash_signatures(
+            docs, id_col="doc_id", name_col="text"
+        ).localCheckpoint()
         # LSH emits CANDIDATES (band collisions); verify with the
         # MinHash-agreement estimate before clustering — without the
         # filter, same-vocabulary pages chain into mega-components and
@@ -163,16 +176,10 @@ def run_pipeline(
         docs = commit("documents_deduped", deduped)
 
     if "sentences" in want:
-        if docs is None:
-            # prefer the curated tables when those stages were committed
-            # in an earlier invocation of this warehouse (dedup runs
-            # after screen, so it is the most-curated table available)
-            for stage_name in ("documents_deduped", "documents_screened"):
-                if cat.committed_batches(stage_name):
-                    docs = cat.read_stage(spark, stage_name)
-                    break
-            else:
-                docs = need("documents", "sentences")
+        # the sticky blocks above always set `docs` when a curated
+        # table exists (docs_consumer includes "sentences"), so the
+        # only fallback is the raw documents stage
+        docs = docs if docs is not None else need("documents", "sentences")
         sents = commit("sentences", split_documents(docs))
     # NOTE: conflict resolution (J3) applies to MULTI-run merges only
     # (reference: entity_merger2.py post-processes merged class runs);

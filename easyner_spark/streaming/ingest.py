@@ -61,21 +61,37 @@ def read_page_stream(
     return raw.withWatermark("warc_ts", watermark).dropDuplicates(["url", "warc_ts"])
 
 
+def _sig_batch_key(n_batches: int):
+    """Stable signature-stage partition key (one definition — the two
+    write sites must agree or corpus rows silently migrate batches and
+    verify_counts rewrites every partition each epoch)."""
+    return F.pmod(F.xxhash64("doc_id"), F.lit(n_batches)).cast("int")
+
+
 def epoch_dedup_pairs(
     spark: SparkSession,
     warehouse: str,
     epoch_docs: DataFrame,
     max_bucket: int = 256,
     sig_stage: str = "minhash_sigs",
+    n_batches: int = 64,
+    min_agreement: float | None = 0.9,
 ) -> DataFrame:
     """Incremental near-dup pass for one ingest epoch: signature the
     NEW documents, probe the committed corpus signature stage, commit
-    the new signatures, and return the candidate pairs touching the
-    epoch (new×new + new×corpus — corpus×corpus was emitted by earlier
-    epochs; stages/canonical.py:incremental_lsh_candidates).
+    the new signatures, and return the VERIFIED near-dup pairs touching
+    the epoch (new x new + new x corpus — corpus x corpus was emitted
+    by earlier epochs; stages/canonical.py:incremental_lsh_candidates).
+
+    ``min_agreement``: LSH emits band-collision CANDIDATES; by default
+    each pair is verified with the MinHash-agreement estimate before it
+    is returned — same-vocabulary pages otherwise chain into
+    mega-components when the caller clusters the pairs (the exact
+    over-merge pipeline.py's dedup stage guards against). Pass None for
+    the raw candidates (caller runs its own verification).
 
     This is the join shape that keeps web-scale dedup sustainable: each
-    epoch costs O(epoch × bucket overlap), not corpus². The signature
+    epoch costs O(epoch x bucket overlap), not corpus^2. The signature
     stage is append-only per batch_id (content-derived signatures never
     need recompute); callers feed the returned pairs into connected
     components against previously-emitted pairs to maintain clusters.
@@ -89,27 +105,31 @@ def epoch_dedup_pairs(
         incremental_lsh_candidates,
         lsh_candidate_pairs,
         minhash_signatures,
+        signature_similarity_filter,
     )
 
     cat = CheckpointCatalog(warehouse)
+    # materialized once: the epoch's shingle/minhash aggregate feeds the
+    # pair probe, the similarity filter AND the signature-stage commit
+    # (verify_counts + write) — without this it recomputes per consumer
     new_sigs = (
         minhash_signatures(epoch_docs, id_col="doc_id", name_col="text")
-        .select(
-            "doc_id",
-            "sig",
-            F.pmod(F.xxhash64("doc_id"), F.lit(64)).cast("int").alias("batch_id"),
-        )
+        .select("doc_id", "sig", _sig_batch_key(n_batches).alias("batch_id"))
+        .localCheckpoint()
     )
     if cat.committed_batches(sig_stage):
         corpus = cat.read_stage(spark, sig_stage).select("doc_id", "sig")
         pairs = incremental_lsh_candidates(
             new_sigs, corpus, id_col="doc_id", max_bucket=max_bucket
-        ).localCheckpoint()
+        )
+        if min_agreement is not None:
+            all_sigs = corpus.unionByName(new_sigs.select("doc_id", "sig"))
+            pairs = signature_similarity_filter(
+                pairs, all_sigs, id_col="doc_id", min_agreement=min_agreement
+            ).select("src", "dst")
+        pairs = pairs.localCheckpoint()
         cat.write_stage(
-            corpus.withColumn(
-                "batch_id",
-                F.pmod(F.xxhash64("doc_id"), F.lit(64)).cast("int"),
-            )
+            corpus.withColumn("batch_id", _sig_batch_key(n_batches))
             .unionByName(new_sigs)
             # a re-ingested doc with UNCHANGED content collapses to one
             # row; changed content keeps both versions (both remain
@@ -120,7 +140,12 @@ def epoch_dedup_pairs(
     else:
         pairs = lsh_candidate_pairs(
             new_sigs, id_col="doc_id", max_bucket=max_bucket
-        ).localCheckpoint()
+        )
+        if min_agreement is not None:
+            pairs = signature_similarity_filter(
+                pairs, new_sigs, id_col="doc_id", min_agreement=min_agreement
+            ).select("src", "dst")
+        pairs = pairs.localCheckpoint()
         cat.write_stage(new_sigs, sig_stage)
     return pairs.select(
         F.col("src").alias("doc_a"), F.col("dst").alias("doc_b")
