@@ -153,3 +153,32 @@ def test_asof_join_salted_matches_unsalted(spark):
             for r in asof_join(left, right, on="k", salt=s).collect()
         }
         assert salted == base, f"salt={s}"
+
+
+def test_two_phase_rank_equals_global_rank_random(spark):
+    """_two_phase_rank == RANK() OVER (ORDER BY count DESC, ties) on
+    random data with heavy count collisions (the helper's precondition
+    — unique (count, ties) per row — holds by construction here)."""
+    import random
+
+    from pyspark.sql import Window as W, functions as F
+
+    from easyner_spark.queries import _two_phase_rank
+
+    rng = random.Random(7)
+    rows = [(f"k{i:04d}", rng.randrange(1, 12)) for i in range(500)]
+    df = spark.createDataFrame(rows, "key string, total_count int")
+    got = {
+        r["key"]: r["rnk"]
+        for r in _two_phase_rank(df, "total_count", ["key"]).collect()
+    }
+    want = {
+        r["key"]: r["rnk"]
+        for r in df.withColumn(
+            "rnk",
+            F.rank()
+            .over(W.orderBy(F.desc("total_count"), "key"))
+            .cast("bigint"),
+        ).collect()
+    }
+    assert got == want
