@@ -4380,3 +4380,86 @@ def q_kg_entity_trend(spark, sf_dir):
         ).cast("bigint").alias("delta"),
         F.row_number().over(w_rnk).cast("bigint").alias("rnk_in_batch"),
     )
+
+
+@register(
+    "dedup_minhash_verified",
+    _SHINGLES_CTE
+    + f""",
+sigs AS (
+  SELECT doc_id, {_minhash_sig_exprs_sql()}
+  FROM shingles GROUP BY doc_id
+),
+bands AS (
+  SELECT doc_id, unnest([md5(h0 || h1 || h2 || h3), md5(h4 || h5 || h6 || h7)]) AS band_hash,
+         unnest([0, 1]) AS band_id
+  FROM sigs
+),
+cand AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM bands a JOIN bands b
+    ON a.band_hash = b.band_hash AND a.band_id = b.band_id AND a.doc_id < b.doc_id
+)
+SELECT c.doc_a, c.doc_b,
+       CAST(((CASE WHEN sa.h0 = sb.h0 THEN 1 ELSE 0 END) +
+             (CASE WHEN sa.h1 = sb.h1 THEN 1 ELSE 0 END) +
+             (CASE WHEN sa.h2 = sb.h2 THEN 1 ELSE 0 END) +
+             (CASE WHEN sa.h3 = sb.h3 THEN 1 ELSE 0 END) +
+             (CASE WHEN sa.h4 = sb.h4 THEN 1 ELSE 0 END) +
+             (CASE WHEN sa.h5 = sb.h5 THEN 1 ELSE 0 END) +
+             (CASE WHEN sa.h6 = sb.h6 THEN 1 ELSE 0 END) +
+             (CASE WHEN sa.h7 = sb.h7 THEN 1 ELSE 0 END)) * 1000000 // 8
+            AS BIGINT) AS agreement_ppm
+FROM cand c JOIN sigs sa ON c.doc_a = sa.doc_id
+            JOIN sigs sb ON c.doc_b = sb.doc_id
+WHERE ((CASE WHEN sa.h0 = sb.h0 THEN 1 ELSE 0 END) +
+       (CASE WHEN sa.h1 = sb.h1 THEN 1 ELSE 0 END) +
+       (CASE WHEN sa.h2 = sb.h2 THEN 1 ELSE 0 END) +
+       (CASE WHEN sa.h3 = sb.h3 THEN 1 ELSE 0 END) +
+       (CASE WHEN sa.h4 = sb.h4 THEN 1 ELSE 0 END) +
+       (CASE WHEN sa.h5 = sb.h5 THEN 1 ELSE 0 END) +
+       (CASE WHEN sa.h6 = sb.h6 THEN 1 ELSE 0 END) +
+       (CASE WHEN sa.h7 = sb.h7 THEN 1 ELSE 0 END)) * 2 >= 8
+""",
+)
+def q_dedup_minhash_verified(spark, sf_dir):
+    """The verification step that makes LSH dedup safe to cluster:
+    band-collision candidates re-scored by MinHash agreement (exact
+    integer ppm over the signature), kept at agreement >= 1/2 — raw
+    band collisions chain same-vocabulary pages into mega-components
+    when clustered unverified (the defect the pipeline's dedup stage
+    and epoch_dedup_pairs guard against; this query is that guard's
+    oracle contract). Plan: the candidate equi-join plus two broadcast-
+    free hash joins back to the signature table — agreement is a pure
+    zip_with fold, no shuffle beyond the joins."""
+    pairs = QUERIES["dedup_minhash_pairs"](spark, sf_dir)
+    sh = shingles(spark, sf_dir)
+    sigs = sh.groupBy("doc_id").agg(
+        F.array(
+            *[
+                F.min(
+                    F.md5(F.concat(F.lit(f"{s}|"), F.col("shingle")).cast("binary"))
+                )
+                for s in range(MINHASH_SEEDS)
+            ]
+        ).alias("sig")
+    )
+    sa = sigs.select(F.col("doc_id").alias("doc_a"), F.col("sig").alias("sig_a"))
+    sb = sigs.select(F.col("doc_id").alias("doc_b"), F.col("sig").alias("sig_b"))
+    agree = F.expr(
+        "aggregate(zip_with(sig_a, sig_b, (x, y) -> CAST(x = y AS INT)),"
+        " 0, (acc, v) -> acc + v)"
+    )
+    return (
+        pairs.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .withColumn("_agree", agree)
+        .filter(F.col("_agree") * 2 >= MINHASH_SEEDS)
+        .select(
+            "doc_a",
+            "doc_b",
+            F.expr(f"CAST(_agree * 1000000 div {MINHASH_SEEDS} AS BIGINT)").alias(
+                "agreement_ppm"
+            ),
+        )
+    )
