@@ -56,12 +56,17 @@ def asof_join(
     key (a null-heavy join column, a mega-user) concentrates its whole
     timeline in ONE task whose sort is the straggler. ``salt=S`` splits
     the LEFT rows of every key across S sub-partitions (hash of the
-    left timestamp — stateless, layout-invariant) and replicates the
-    RIGHT rows to all S, so each task sorts ~left/S + right rows. The
-    result is EXACT (every left row still sees every right row for its
-    key); the trade is an S× right-side replication, so it fits the
-    common shape left ≫ right per key. Measured: scripts/skew_bench.py
-    --asof."""
+    left timestamp AND the full left row struct — stateless,
+    layout-invariant, and immune to the coarse-granularity / NULL-ts
+    collapse a ts-only hash has: a hot key whose rows share one
+    timestamp still spreads by payload) and replicates the RIGHT rows
+    to all S, so each task sorts ~left/S + right rows. The result is
+    EXACT (every left row still sees every right row for its key); the
+    trade is an S× right-side replication, so it fits the common shape
+    left ≫ right per key. Note fully-identical left rows share a hash
+    and stay together — unavoidable for a deterministic salt, and only
+    a straggler if the hot key's timeline is mostly verbatim duplicate
+    rows. Measured: scripts/skew_bench.py --asof."""
     keys = [on] if isinstance(on, str) else list(on)
     payload = [c for c in right.columns if c not in keys]
     # the internal tag/window columns and the suffixed outputs must not
@@ -94,7 +99,12 @@ def asof_join(
     r2 = r2.withColumn("__l", F.lit(None).cast(l2.schema["__l"].dataType))
     part_keys = list(keys)
     if salt is not None and salt > 1:
-        l2 = l2.withColumn("__salt", F.pmod(F.xxhash64("__ts"), F.lit(salt)))
+        # hash ts AND the full left row: a ts-only hash collapses to one
+        # sub-partition when a hot key's rows share few distinct ts
+        # values (coarse timestamps; xxhash64(NULL) is a constant)
+        l2 = l2.withColumn(
+            "__salt", F.pmod(F.xxhash64("__ts", "__l"), F.lit(salt))
+        )
         r2 = r2.withColumn(
             "__salt", F.explode(F.sequence(F.lit(0), F.lit(salt - 1)))
         ).withColumn("__salt", F.col("__salt").cast("bigint"))

@@ -18,11 +18,17 @@ Pattern notes (deliberately conservative):
 * ipv4 — four 1-3 digit octets, word-bounded (no range check: a
   curation screen prefers false positives over leaks);
 * ssn — the hyphenated 3-2-4 US form only;
-* phone — either an E.164-style +7-15 digit run, or a three-group
-  separated form (2-4 / 3-4 / 3-4 digits) so year ranges ("1914-1918"),
-  decimals ("3.1415926"), spaced thousands ("1 000 000") and SSNs (the
-  3-2-4 shape) do NOT match — a looser "digits with separators" rule
-  redacted ordinary numeric prose and double-counted SSNs.
+* phone — one of three anchored shapes: an E.164-style +7-15 digit
+  run; a HYPHEN-separated three-group form (2-4 / 3-4 / 3-4 digits,
+  both separators hyphens); or a paren-led form ("(555) 123-4567",
+  any of "-. " between groups). Dot/space-separated bare digit runs
+  deliberately do NOT match, so year ranges ("1914-1918"), decimals
+  ("3.1415926"), spaced thousands ("1 000 000" — multi-digit leading
+  group included, e.g. "10 000 000"), dotted thousands ("12.345.678")
+  and SSNs (the 3-2-4 shape) all stay untouched; the accepted cost is
+  missing dot/space-only phone styles ("555.123.4567") unless they
+  carry a paren or plus. A digit lookbehind stops mid-number matches
+  inside longer digit runs.
 """
 
 from __future__ import annotations
@@ -33,7 +39,11 @@ PII_PATTERNS: dict[str, str] = {
     "email": r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}",
     "ipv4": r"\b([0-9]{1,3}\.){3}[0-9]{1,3}\b",
     "ssn": r"\b[0-9]{3}-[0-9]{2}-[0-9]{4}\b",
-    "phone": r"(\+[0-9]{7,15}\b|\+?\(?[0-9]{2,4}\)?[-. ][0-9]{3,4}[-. ][0-9]{3,4}\b)",
+    "phone": (
+        r"(\+[0-9]{7,15}\b"
+        r"|(?<![0-9])\(?\+?[0-9]{2,4}\)?-[0-9]{3,4}-[0-9]{3,4}\b"
+        r"|(?<![0-9])\+?\([0-9]{2,4}\)[-. ]?[0-9]{3,4}[-. ][0-9]{3,4}\b)"
+    ),
 }
 
 # scrub order matters: specific → general, so an SSN is tagged [SSN]

@@ -217,6 +217,73 @@ def triangles(
     )
 
 
+def node_jaccard(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    min_common: int = 2,
+    max_neighbor_degree: int | None = None,
+) -> DataFrame:
+    """Common-neighbor (Jaccard) node similarity →
+    (ent_a, ent_b, n_common, deg_a, deg_b, jaccard_ppm BIGINT).
+
+    The structural link-prediction score: two entities are similar if
+    their co-occurrence neighborhoods overlap. Exact integer ppm
+    (n_common * 1e6 div (deg_a + deg_b - n_common)) — no float.
+
+    Plan: the undirected adjacency self-joins on the SHARED NEIGHBOR
+    (equi join, never an all-pairs product), then two shuffled joins
+    against the one-row-per-node degree dimension (unbounded at web
+    scale, so no forced broadcast).
+
+    Scale: fan-out of the shared-neighbor join is Σ deg(v)² over
+    neighbors v — one stopword-like hub entity (degree 10⁶) generates
+    ~10¹² candidate pairs. ``max_neighbor_degree`` drops super-hub
+    NEIGHBOR rows before the expansion (same opt-in policy as
+    ``triangles``/``two_hop_reach``): pairs then count only common
+    neighbors of bounded degree (similarity via stopword-like hubs
+    carries no signal), while ``deg_a``/``deg_b`` stay the EXACT full
+    degrees, so capped jaccard is a deterministic underestimate.
+    Exact when None.
+    """
+    u = _undirected(edges, src, dst).localCheckpoint()
+    adj = (
+        u.select(F.col("a").alias("u"), F.col("b").alias("v"))
+        .union(u.select(F.col("b").alias("u"), F.col("a").alias("v")))
+        .localCheckpoint()  # consumed by deg + both self-join sides
+    )
+    deg = adj.groupBy("u").agg(F.count("*").cast("bigint").alias("d"))
+    mid = adj
+    if max_neighbor_degree is not None:
+        hubs = deg.filter(F.col("d") > max_neighbor_degree).select(
+            F.col("u").alias("v")
+        )
+        mid = adj.join(hubs, "v", "left_anti")
+    l, r = mid.alias("l"), mid.alias("r")
+    pairs = (
+        l.join(r, (F.col("l.v") == F.col("r.v")) & (F.col("l.u") < F.col("r.u")))
+        .groupBy(F.col("l.u").alias("ent_a"), F.col("r.u").alias("ent_b"))
+        .agg(F.count("*").cast("bigint").alias("n_common"))
+        .filter(F.col("n_common") >= min_common)
+    )
+    da = deg.select(F.col("u").alias("ent_a"), F.col("d").alias("deg_a"))
+    db = deg.select(F.col("u").alias("ent_b"), F.col("d").alias("deg_b"))
+    return (
+        pairs.join(da, "ent_a")
+        .join(db, "ent_b")
+        .select(
+            "ent_a",
+            "ent_b",
+            "n_common",
+            "deg_a",
+            "deg_b",
+            F.expr(
+                "CAST(n_common * 1000000 div (deg_a + deg_b - n_common) AS BIGINT)"
+            ).alias("jaccard_ppm"),
+        )
+    )
+
+
 def two_hop_reach(
     edges: DataFrame,
     src: str = "src",

@@ -230,7 +230,16 @@ sentences AS (
 
 
 def shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
-    t = tokens(spark, sf_dir).select("doc_id", "pos", "token")
+    return _shingles_from_tokens(
+        tokens(spark, sf_dir).select("doc_id", "pos", "token")
+    )
+
+
+def _shingles_from_tokens(t: DataFrame) -> DataFrame:
+    """(doc_id, pos, token) → (doc_id, shingle). Split out so composite
+    queries (train_corpus_curated) can feed ONE materialized token
+    frame to every shingle consumer instead of re-tokenizing per
+    branch."""
     # window-free construction: collect per doc then slide — cheaper than
     # a 3-way self-join and keeps one shuffle
     per_doc = t.groupBy("doc_id").agg(
@@ -1036,7 +1045,12 @@ def q_dedup_minhash_pairs(spark, sf_dir):
     which rewrites oversized shuffle partitions at runtime WITHOUT
     changing the pair set — oracle parity preserved, stragglers bounded.
     """
-    sh = shingles(spark, sf_dir)
+    return _minhash_pairs_from(shingles(spark, sf_dir))
+
+
+def _minhash_pairs_from(sh: DataFrame) -> DataFrame:
+    """(doc_id, shingle) → (doc_a, doc_b) LSH candidate pairs; split
+    out so composite queries reuse one materialized shingle frame."""
     sigs = sh.groupBy("doc_id").agg(
         *[
             F.min(F.md5(F.concat(F.lit(f"{s}|"), F.col("shingle")).cast("binary"))).alias(
@@ -3850,8 +3864,12 @@ def q_text_bigram_lm(spark, sf_dir):
     probabilities (parts-per-million via BIGINT div — no float, no
     log): the n-gram statistics layer of a data-quality / perplexity
     pipeline. Plan: one doc-partitioned lead window (narrow per-doc
-    sort), one map-side-partial bigram agg, one w1-partitioned window
-    for the denominator — all hash-partitioned, nothing global."""
+    sort), one map-side-partial bigram agg, then the denominator as a
+    groupBy(w1) partial agg + w1-keyed shuffle join — NOT a
+    w1-partitioned window, which would sort every head word's distinct
+    successors in one task (vocabulary-bounded but a needless
+    sort-based skew point; the agg+join is sort-free and map-side
+    partial). All hash-partitioned, nothing global."""
     t = tokens(spark, sf_dir)
     w = W.partitionBy("doc_id").orderBy("pos")
     big = (
@@ -3859,10 +3877,10 @@ def q_text_bigram_lm(spark, sf_dir):
         .filter(F.col("w2").isNotNull())
         .groupBy(F.col("token").alias("w1"), "w2")
         .agg(F.count("*").cast("bigint").alias("c12"))
+        .localCheckpoint()  # feeds the c1 agg AND the join below once
     )
-    big = big.withColumn(
-        "c1", F.sum("c12").over(W.partitionBy("w1")).cast("bigint")
-    )
+    c1 = big.groupBy("w1").agg(F.sum("c12").cast("bigint").alias("c1"))
+    big = big.join(c1, "w1")
     return big.filter(F.col("c12") >= 3).select(
         "w1",
         "w2",
@@ -3977,50 +3995,16 @@ def q_kg_graph_node_jaccard(spark, sf_dir):
     """Common-neighbor (Jaccard) node similarity over the entity
     graph — the structural link-prediction score (two entities are
     similar if their co-occurrence neighborhoods overlap). Exact
-    integer ppm. Plan: the adjacency self-joins on the SHARED NEIGHBOR
-    (equi join; fan-out bounded by neighbor degree — super-hub middles
-    are the documented cap point, same policy as two_hop_reach), then
-    two degree-dimension joins. No all-pairs product anywhere."""
-    u0 = dedges(spark, sf_dir)
-    und = (
-        u0.select(
-            F.least("src", "dst").alias("a"), F.greatest("src", "dst").alias("b")
-        )
-        .distinct()
-        .localCheckpoint()  # three consumers below; Catalyst won't dedupe
-    )
-    adj = (
-        und.select(F.col("a").alias("u"), F.col("b").alias("v"))
-        .union(und.select(F.col("b").alias("u"), F.col("a").alias("v")))
-        .localCheckpoint()
-    )
-    deg = adj.groupBy("u").agg(F.count("*").cast("bigint").alias("d"))
-    l, r = adj.alias("l"), adj.alias("r")
-    pairs = (
-        l.join(r, (F.col("l.v") == F.col("r.v")) & (F.col("l.u") < F.col("r.u")))
-        .groupBy(F.col("l.u").alias("ent_a"), F.col("r.u").alias("ent_b"))
-        .agg(F.count("*").cast("bigint").alias("n_common"))
-        .filter(F.col("n_common") >= 2)
-    )
-    # plain shuffled hash joins: the degree table is one row per NODE —
-    # an unbounded dimension a forced broadcast would ship whole to
-    # every executor at web scale
-    da = deg.select(F.col("u").alias("ent_a"), F.col("d").alias("deg_a"))
-    db = deg.select(F.col("u").alias("ent_b"), F.col("d").alias("deg_b"))
-    return (
-        pairs.join(da, "ent_a")
-        .join(db, "ent_b")
-        .select(
-            "ent_a",
-            "ent_b",
-            "n_common",
-            "deg_a",
-            "deg_b",
-            F.expr(
-                "CAST(n_common * 1000000 div (deg_a + deg_b - n_common) AS BIGINT)"
-            ).alias("jaccard_ppm"),
-        )
-    )
+    integer ppm via ops/graph.py:node_jaccard (adjacency self-join on
+    the SHARED NEIGHBOR, equi join, two shuffled degree-dimension
+    joins — no all-pairs product). The contract runs the exact
+    uncapped mode so the oracle replays it; production callers pass
+    ``max_neighbor_degree`` to drop super-hub neighbors before the
+    deg² expansion (same opt-in policy as triangles/two_hop_reach;
+    pinned by tests/test_ops_graph.py)."""
+    from easyner_spark.ops.graph import node_jaccard
+
+    return node_jaccard(dedges(spark, sf_dir), min_common=2)
 
 
 @register(
@@ -4053,7 +4037,14 @@ def q_corpus_contamination(spark, sf_dir):
     Plan: distinct shingles → shingle-keyed semi join against the
     benchmark shingle set (equi join; at 100 TB the benchmark side is
     the small one and broadcasts), one doc-keyed agg. Exact ppm."""
-    sh = shingles(spark, sf_dir).distinct().localCheckpoint()
+    return _contamination_from(shingles(spark, sf_dir))
+
+
+def _contamination_from(sh: DataFrame) -> DataFrame:
+    """(doc_id, shingle) → (doc_id, n_shingles, n_hits, contam_ppm);
+    split out so composite queries reuse one materialized shingle
+    frame."""
+    sh = sh.distinct().localCheckpoint()
     bench = (
         sh.filter(F.col("doc_id") % 50 == 0).select("shingle").distinct()
     )
@@ -4273,16 +4264,31 @@ def q_train_corpus_curated(spark, sf_dir):
     predicates so the admitted set is engine- and layout-invariant.
     Plan: the component/quality/contamination branches each shuffle on
     doc_id, then broadcast-free equi/anti joins on doc_id — at 100 TB
-    every branch is the already-committed stage table."""
-    comp = QUERIES["dedup_components"](spark, sf_dir)
+    every branch is the already-committed stage table. In THIS
+    contract query the branches share ONE materialized token frame and
+    ONE materialized shingle frame (localCheckpoint — Catalyst does
+    not dedupe multi-consumer subtrees), so tokenize/shingle run once,
+    not three times."""
+    from .stages.canonical import connected_components
+
+    t = (
+        tokens(spark, sf_dir)
+        .select("doc_id", "pos", "token")
+        .localCheckpoint()  # feeds quality agg + the shingle branch
+    )
+    sh = _shingles_from_tokens(t).localCheckpoint()  # pairs + contamination
+    pairs = _minhash_pairs_from(sh).select(
+        F.col("doc_a").alias("src"), F.col("doc_b").alias("dst")
+    )
+    comp = connected_components(pairs).select(
+        F.col("node").alias("doc_id"), "component"
+    )
     dupes = comp.filter(F.col("component") < F.col("doc_id")).select("doc_id")
-    quality = tokens(spark, sf_dir).groupBy("doc_id").agg(
+    quality = t.groupBy("doc_id").agg(
         F.count("*").cast("bigint").alias("n_tokens"),
         F.countDistinct("token").cast("bigint").alias("nd"),
     )
-    contam = QUERIES["corpus_contamination"](spark, sf_dir).select(
-        "doc_id", "contam_ppm"
-    )
+    contam = _contamination_from(sh).select("doc_id", "contam_ppm")
     return (
         quality.filter(F.col("doc_id") % 50 != 0)
         .join(dupes, "doc_id", "left_anti")

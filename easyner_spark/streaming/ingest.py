@@ -61,11 +61,18 @@ def read_page_stream(
     return raw.withWatermark("warc_ts", watermark).dropDuplicates(["url", "warc_ts"])
 
 
-def _sig_batch_key(n_batches: int):
-    """Stable signature-stage partition key (one definition — the two
-    write sites must agree or corpus rows silently migrate batches and
-    verify_counts rewrites every partition each epoch)."""
-    return F.pmod(F.xxhash64("doc_id"), F.lit(n_batches)).cast("int")
+def _sig_batch_key(n_batches: int, epoch_seq: int):
+    """Signature-stage partition key, EPOCH-SCOPED: batch_id =
+    epoch_seq * n_batches + hash(doc_id) % n_batches. Each epoch owns a
+    disjoint batch-id range, so committing an epoch touches only its
+    own n_batches partitions — the corpus partitions written by earlier
+    epochs are never re-hashed or rewritten (O(epoch) commit cost, not
+    O(corpus); ADVICE r3). A row's batch is fixed at its commit epoch
+    forever."""
+    return (
+        F.lit(epoch_seq * n_batches)
+        + F.pmod(F.xxhash64("doc_id"), F.lit(n_batches))
+    ).cast("int")
 
 
 def epoch_dedup_pairs(
@@ -91,15 +98,26 @@ def epoch_dedup_pairs(
     the raw candidates (caller runs its own verification).
 
     This is the join shape that keeps web-scale dedup sustainable: each
-    epoch costs O(epoch x bucket overlap), not corpus^2. The signature
-    stage is append-only per batch_id (content-derived signatures never
-    need recompute); callers feed the returned pairs into connected
-    components against previously-emitted pairs to maintain clusters.
+    epoch costs O(epoch x bucket overlap), not corpus^2 — and the
+    COMMIT matches: batch ids are epoch-scoped (disjoint per-epoch
+    ranges via _sig_batch_key), so each epoch appends exactly its own
+    n_batches partitions under skip_committed and the earlier epochs'
+    partitions are never re-read, re-hashed or rewritten. Re-ingested
+    doc_ids are handled explicitly: an anti-join on (doc_id, sig) drops
+    rows whose exact signature is already committed (re-crawl with
+    unchanged content — the same collapse the old union+dropDuplicates
+    produced), while changed content keeps both versions (both remain
+    legitimate near-dup cluster members). Callers feed the returned
+    pairs into connected components against previously-emitted pairs to
+    maintain clusters.
 
     The returned frame is materialized (localCheckpoint) BEFORE the new
     signatures are committed, so the probe sees the pre-epoch corpus —
     calling this twice for one epoch would otherwise self-pair against
-    the first call's commit.
+    the first call's commit. (Crash safety: the manifest swap is the
+    atomic commit point, so a crash mid-commit leaves the epoch
+    entirely uncommitted and a re-run replays it under a fresh epoch
+    range against the same pre-epoch corpus.)
     """
     from ..stages.canonical import (
         incremental_lsh_candidates,
@@ -109,15 +127,20 @@ def epoch_dedup_pairs(
     )
 
     cat = CheckpointCatalog(warehouse)
+    done = cat.committed_batches(sig_stage)
+    # next free epoch range: one above the highest committed epoch
+    epoch_seq = (max(done) // n_batches + 1) if done else 0
     # materialized once: the epoch's shingle/minhash aggregate feeds the
     # pair probe, the similarity filter AND the signature-stage commit
-    # (verify_counts + write) — without this it recomputes per consumer
+    # — without this it recomputes per consumer
     new_sigs = (
         minhash_signatures(epoch_docs, id_col="doc_id", name_col="text")
-        .select("doc_id", "sig", _sig_batch_key(n_batches).alias("batch_id"))
+        .select(
+            "doc_id", "sig", _sig_batch_key(n_batches, epoch_seq).alias("batch_id")
+        )
         .localCheckpoint()
     )
-    if cat.committed_batches(sig_stage):
+    if done:
         corpus = cat.read_stage(spark, sig_stage).select("doc_id", "sig")
         pairs = incremental_lsh_candidates(
             new_sigs, corpus, id_col="doc_id", max_bucket=max_bucket
@@ -128,15 +151,12 @@ def epoch_dedup_pairs(
                 pairs, all_sigs, id_col="doc_id", min_agreement=min_agreement
             ).select("src", "dst")
         pairs = pairs.localCheckpoint()
-        cat.write_stage(
-            corpus.withColumn("batch_id", _sig_batch_key(n_batches))
-            .unionByName(new_sigs)
-            # a re-ingested doc with UNCHANGED content collapses to one
-            # row; changed content keeps both versions (both remain
-            # legitimate near-dup cluster members)
-            .dropDuplicates(["doc_id", "sig"]),
-            sig_stage,
-        )
+        # append ONLY this epoch's genuinely-new signatures: anti-join
+        # on (doc_id, sig) collapses unchanged re-ingests; the write
+        # touches only the epoch's own batch range (skip_committed —
+        # earlier epochs' partitions are immutable by construction)
+        fresh = new_sigs.join(corpus, ["doc_id", "sig"], "left_anti")
+        cat.write_stage(fresh, sig_stage, resume_mode="skip_committed")
     else:
         pairs = lsh_candidate_pairs(
             new_sigs, id_col="doc_id", max_bucket=max_bucket
@@ -146,7 +166,7 @@ def epoch_dedup_pairs(
                 pairs, new_sigs, id_col="doc_id", min_agreement=min_agreement
             ).select("src", "dst")
         pairs = pairs.localCheckpoint()
-        cat.write_stage(new_sigs, sig_stage)
+        cat.write_stage(new_sigs, sig_stage, resume_mode="skip_committed")
     return pairs.select(
         F.col("src").alias("doc_a"), F.col("dst").alias("doc_b")
     )

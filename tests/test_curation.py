@@ -37,6 +37,45 @@ def test_clean_text_counts_zero(spark):
     assert c == {"email_n": 0, "ipv4_n": 0, "ssn_n": 0, "phone_n": 0, "pii_total": 0}
 
 
+@pytest.mark.parametrize(
+    "text",
+    [
+        "the budget was 10 000 000 kronor last year",
+        "population 12.345.678 at the census",
+        "pi is 3.1415926 and e is 2.7182818",
+        "the war years 1914-1918 and 1939-1945",
+        "serial 12345-678-9012 is inside a longer run 9912345-678-9012x",
+    ],
+)
+def test_numeric_prose_is_not_a_phone(spark, text):
+    """Spaced/dotted thousands, decimals, year ranges and mid-number
+    runs must not be redacted as phones (ADVICE r3: the old separated
+    form matched multi-digit-lead spaced/dotted groups)."""
+    c = _counts(spark, text)
+    assert c["phone_n"] == 0, text
+    scrubbed = (
+        spark.createDataFrame([(text,)], "text string")
+        .select(scrub_pii(F.col("text")).alias("s"))
+        .collect()[0]["s"]
+    )
+    assert "[PHONE]" not in scrubbed, scrubbed
+
+
+@pytest.mark.parametrize(
+    "text",
+    [
+        "call 555-123-4567 today",
+        "call (555) 123-4567 today",
+        "call (555)123-4567 today",
+        "call +1 (555) 123.4567 today",
+        "call +46701234567 today",
+        "call (+46)-123-4567 today",
+    ],
+)
+def test_real_phone_shapes_still_match(spark, text):
+    assert _counts(spark, text)["phone_n"] >= 1, text
+
+
 def test_scrub_replaces_with_typed_placeholders(spark):
     df = spark.createDataFrame(
         [("contact bob@example.com from 192.168.1.1 please",)], "text string"

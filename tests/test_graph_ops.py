@@ -1,6 +1,11 @@
 """Hand-computed semantics for ops/graph.py on tiny known graphs."""
 
-from easyner_spark.ops.graph import pagerank, triangles, two_hop_reach
+from easyner_spark.ops.graph import (
+    node_jaccard,
+    pagerank,
+    triangles,
+    two_hop_reach,
+)
 
 
 def _edges(spark, pairs):
@@ -173,6 +178,64 @@ def test_degree_caps_drop_hub_paths(spark):
     # E-C-H survives (mid C has degree 2), both directions
     assert capped2 == {"E": 1, "H": 1}
     # A's only 2-hop paths ran through H (to C, D) — gone under the cap
+
+
+def test_node_jaccard_hand_computed(spark):
+    # A and B share both neighbors {C, D}; C and D share {A, B} — two
+    # perfect-overlap pairs, jaccard 2/(2+2-2) = 1.0 = 1e6 ppm.
+    e = _edges(spark, [("A", "C"), ("B", "C"), ("A", "D"), ("B", "D")])
+    got = {
+        (r["ent_a"], r["ent_b"]): (
+            r["n_common"], r["deg_a"], r["deg_b"], r["jaccard_ppm"]
+        )
+        for r in node_jaccard(e).collect()
+    }
+    assert got == {
+        ("A", "B"): (2, 2, 2, 1_000_000),
+        ("C", "D"): (2, 2, 2, 1_000_000),
+    }
+
+
+def test_node_jaccard_hub_cap_drops_hub_mediated_common_neighbors(spark):
+    """max_neighbor_degree removes the hub as a SHARED NEIGHBOR (the
+    deg² fan-out source) but keeps it as a pair endpoint, and the
+    reported degrees stay the exact full degrees."""
+    # A,B share C, D and hub H (deg 5: A,B,E,F,G)
+    e = _edges(
+        spark,
+        [
+            ("A", "C"), ("B", "C"), ("A", "D"), ("B", "D"),
+            ("A", "H"), ("B", "H"), ("H", "E"), ("H", "F"), ("H", "G"),
+        ],
+    )
+    full = {
+        (r["ent_a"], r["ent_b"]): (r["n_common"], r["jaccard_ppm"])
+        for r in node_jaccard(e, min_common=1).collect()
+    }
+    assert full[("A", "B")] == (3, 1_000_000)  # 3e6 div (3+3-3)
+    assert full[("E", "F")] == (1, 1_000_000)  # only via H
+    capped = {
+        (r["ent_a"], r["ent_b"]): (
+            r["n_common"], r["deg_a"], r["deg_b"], r["jaccard_ppm"]
+        )
+        for r in node_jaccard(e, min_common=1, max_neighbor_degree=4).collect()
+    }
+    # H-mediated commonality gone: (A,B) drops to {C,D}, H-only pairs
+    # like (E,F) vanish entirely; degrees remain the uncapped truth
+    assert capped[("A", "B")] == (2, 3, 3, 500_000)
+    assert ("E", "F") not in capped
+    # H survives as an ENDPOINT (C and H share neighbors A and B)
+    assert capped[("C", "H")] == (2, 2, 5, 400_000)
+
+
+def test_node_jaccard_matches_contract_query_shape(spark):
+    """The registry query delegates to this op (uncapped, exact)."""
+    from easyner_spark.queries import QUERIES
+
+    df = QUERIES["kg_graph_node_jaccard"](spark, "/root/testdata/sf0.001")
+    assert df.columns == [
+        "ent_a", "ent_b", "n_common", "deg_a", "deg_b", "jaccard_ppm"
+    ]
 
 
 def test_asof_join_map_payload_with_tie_break_off(spark):

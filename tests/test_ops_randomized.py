@@ -155,6 +155,38 @@ def test_asof_join_salted_matches_unsalted(spark):
         assert salted == base, f"salt={s}"
 
 
+def test_asof_salt_spreads_single_timestamp_hot_key(spark):
+    """A hot key whose left rows all share ONE timestamp (the
+    coarse-granularity case that collapsed a ts-only salt hash into a
+    single sub-partition) must still both (a) spread across salt
+    buckets and (b) stay exact."""
+    from easyner_spark.ops.asof import asof_join
+
+    left = spark.createDataFrame(
+        [(0, 50, i) for i in range(400)], "k int, ts int, lid int"
+    )
+    right = spark.createDataFrame(
+        [(0, 10, 1.0), (0, 50, 2.0), (0, 60, 3.0)], "k int, ts int, val double"
+    )
+    got = {
+        r["lid"]: (r["ts_r"], r["val_r"])
+        for r in asof_join(left, right, on="k", salt=8).collect()
+    }
+    assert got == {i: (50, 2.0) for i in range(400)}
+    # white-box: the salt expression over (ts, full left row) must hit
+    # several buckets even though every ts is identical
+    l2 = left.select(
+        F.col("ts").alias("__ts"),
+        F.struct(*[F.col(c) for c in left.columns]).alias("__l"),
+    )
+    n = (
+        l2.select(F.pmod(F.xxhash64("__ts", "__l"), F.lit(8)).alias("s"))
+        .distinct()
+        .count()
+    )
+    assert n >= 6
+
+
 def test_two_phase_rank_equals_global_rank_random(spark):
     """_two_phase_rank == RANK() OVER (ORDER BY count DESC, ties) on
     random data with heavy count collisions (the helper's precondition

@@ -172,3 +172,53 @@ def test_epoch_dedup_pairs_incremental(spark, tmp_path):
     cat = CheckpointCatalog(wh)
     sigs = cat.read_stage(spark, "minhash_sigs")
     assert {r["doc_id"] for r in sigs.select("doc_id").collect()} == {1, 2, 3, 4, 5}
+
+
+def test_epoch_dedup_commit_is_append_only_per_epoch(spark, tmp_path):
+    """ADVICE r3: committing an epoch must touch ONLY that epoch's own
+    batch-id range — earlier epochs' signature partitions are never
+    rewritten (O(epoch) commit, not O(corpus)) — and a re-ingested doc
+    with unchanged content must not duplicate its signature row."""
+    from easyner_spark.io.catalog import CheckpointCatalog
+    from easyner_spark.streaming.ingest import epoch_dedup_pairs
+
+    wh = str(tmp_path / "wh_epochappend")
+    nb = 8
+    mk = lambda rows: spark.createDataFrame(rows, "doc_id long, text string")
+    e1 = mk([
+        (1, "alpha beta gamma delta epsilon zeta eta theta iota kappa"),
+        (2, "one two three four five six seven eight nine ten eleven"),
+    ])
+    epoch_dedup_pairs(spark, wh, e1, n_batches=nb)
+    cat = CheckpointCatalog(wh)
+    done1 = cat.committed_batches("minhash_sigs")
+    counters1 = cat.counters("minhash_sigs")
+    assert done1 and max(done1) < nb  # epoch 0 range
+
+    # epoch 2: one unchanged re-ingest (doc 1) + one new doc
+    e2 = mk([
+        (1, "alpha beta gamma delta epsilon zeta eta theta iota kappa"),
+        (3, "red orange yellow green blue indigo violet colors spectrum x"),
+    ])
+    epoch_dedup_pairs(spark, wh, e2, n_batches=nb)
+    done2 = cat.committed_batches("minhash_sigs")
+    counters2 = cat.counters("minhash_sigs")
+    new_batches = done2 - done1
+    # the new partitions live strictly in the next epoch's range...
+    assert new_batches and all(nb <= b < 2 * nb for b in new_batches)
+    # ...and every epoch-1 partition's counters are byte-identical (no
+    # rewrite, no re-hash)
+    assert all(counters2[b] == counters1[b] for b in done1)
+    # unchanged re-ingest collapsed: doc 1 has exactly one signature row
+    sigs = cat.read_stage(spark, "minhash_sigs")
+    per_doc = {
+        r["doc_id"]: r["n"]
+        for r in sigs.groupBy("doc_id").count().withColumnRenamed("count", "n").collect()
+    }
+    assert per_doc == {1: 1, 2: 1, 3: 1}
+
+    # epoch 3: a CHANGED re-ingest keeps both versions
+    e3 = mk([(2, "totally rewritten page text that is nothing like before")])
+    epoch_dedup_pairs(spark, wh, e3, n_batches=nb)
+    sigs3 = cat.read_stage(spark, "minhash_sigs")
+    assert sigs3.filter(F.col("doc_id") == 2).count() == 2
