@@ -4469,3 +4469,86 @@ def q_dedup_minhash_verified(spark, sf_dir):
             ),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# driver-gate ordering
+# ---------------------------------------------------------------------------
+# The round driver checks the FIRST 50 registry entries against their
+# DuckDB oracles (list(QUERIES)[:50], insertion order). Rounds 1-3
+# always presented the same first 50, so the 36 entries registered
+# later never received a driver correctness row (round-3 verdict #1).
+# The local sweep (tests/test_queries_oracle.py) covers all entries
+# cell-exact regardless of order; this block only chooses WHICH 50 the
+# driver anchors: the never-driver-checked families first, then the
+# most load-bearing veterans (already green in rounds 1-3) to fill the
+# window. Everything else keeps registration order behind them.
+
+_DRIVER_PRIORITY = [
+    # --- never driver-checked before round 4 (36) ---
+    "corpus_source_stats",
+    "embed_label_centroids",
+    "kg_graph_nodes",
+    "kg_graph_edges",
+    "kg_graph_pagerank",
+    "kg_graph_triangles",
+    "kg_graph_two_hop",
+    "merge_runs_union",
+    "train_sample_hash",
+    "train_stratified_quality",
+    "token_budget_shards",
+    "dedup_exact_keep_best",
+    "web_url_canonical",
+    "web_domain_stats",
+    "web_boilerplate_ngrams",
+    "web_boilerplate_ratio",
+    "tpch_small_quantity_revenue",
+    "events_asof_purchase",
+    "events_interval_overlap",
+    "doc_length_deciles",
+    "events_rollup_cascade",
+    "kg_sql_surface",
+    "doc_rarity_idf",
+    "events_funnel",
+    "events_retention_hourly",
+    "text_bigram_lm",
+    "search_bm25_lite",
+    "index_postings_rare",
+    "kg_graph_node_jaccard",
+    "corpus_contamination",
+    "profile_orders_columns",
+    "tpch_priority_late_ship",
+    "train_corpus_curated",
+    "tpch_cust_order_distribution",
+    "kg_entity_trend",
+    "dedup_minhash_verified",
+    # --- veteran anchors (driver-green in r1-r3; keep the flagship
+    #     KG chain + dedup/eval spine under the gate) ---
+    "kg_triple_counts",
+    "kg_entity_frequency",
+    "kg_id_frequency",
+    "kg_mentions",
+    "kg_linked",
+    "kg_sentences",
+    "dedup_minhash_pairs",
+    "dedup_components",
+    "eval_band_pr",
+    "merge_conflicts_resolved",
+    "embed_knn_bruteforce",
+    "dedup_exact",
+    "pubtator_rebase",
+    "ner_udf_ngram_mentions",
+]
+
+
+def _apply_driver_order() -> None:
+    missing = [n for n in _DRIVER_PRIORITY if n not in QUERIES]
+    assert not missing, f"_DRIVER_PRIORITY names unknown queries: {missing}"
+    order = _DRIVER_PRIORITY + [n for n in QUERIES if n not in _DRIVER_PRIORITY]
+    for reg in (QUERIES, ORACLES):
+        snap = dict(reg)
+        reg.clear()
+        reg.update({n: snap[n] for n in order if n in snap})
+
+
+_apply_driver_order()

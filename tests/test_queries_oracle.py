@@ -15,6 +15,19 @@ def test_every_query_has_oracle():
     assert set(ORACLES) == set(QUERIES)
 
 
+def test_driver_window_is_the_priority_list():
+    """The round driver oracle-checks list(QUERIES)[:50]; the explicit
+    _DRIVER_PRIORITY list controls exactly that window (round-3 verdict
+    #1: entries registered past position 50 never got a driver row).
+    QUERIES and ORACLES must share the ordering or the driver would
+    pair mismatched entries."""
+    from easyner_spark.queries import _DRIVER_PRIORITY
+
+    assert len(_DRIVER_PRIORITY) == 50
+    assert list(QUERIES)[:50] == _DRIVER_PRIORITY
+    assert list(ORACLES) == [n for n in QUERIES if n in ORACLES]
+
+
 @pytest.mark.parametrize("name", sorted(QUERIES))
 def test_query_matches_duckdb(spark, name):
     diff = compare_query(spark, SF_DIR, name, QUERIES[name], ORACLES[name])
