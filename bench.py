@@ -120,6 +120,12 @@ def run_bench(sf_dir: str, cpus: str, n_corpus_docs: int | None = None) -> dict:
         "events_funnel",
         "search_bm25_lite",
         "text_bigram_lm",
+        # round-4 additions: containment dedup, LM quality score,
+        # mixture weights, degree profile
+        "dedup_containment",
+        "doc_lm_score",
+        "train_mixture_tokens",
+        "kg_graph_degree_dist",
     ]
     for name in headline:
         # min of two runs: this VM shows sporadic multi-second scheduler

@@ -4471,6 +4471,228 @@ def q_dedup_minhash_verified(spark, sf_dir):
     )
 
 
+# --------------------------- round-4 additions ---------------------------
+
+
+@register(
+    "kg_graph_degree_dist",
+    _DEDGES_CTE
+    + """,
+adj AS (SELECT a AS u FROM uedges UNION ALL SELECT b FROM uedges),
+deg AS (SELECT u, CAST(count(*) AS BIGINT) AS degree FROM adj GROUP BY u)
+SELECT degree, CAST(count(*) AS BIGINT) AS n_nodes
+FROM deg GROUP BY degree
+""",
+)
+def q_kg_graph_degree_dist(spark, sf_dir):
+    """Degree distribution of the entity co-occurrence graph — the
+    health/skew profile read before running any quadratic graph op
+    (it is how the hub caps for triangles/two-hop/node-jaccard get
+    CHOSEN: pick max_degree at the distribution's tail knee). Two
+    map-side-partial aggs, both hash-keyed, nothing global; output is
+    bounded by the number of distinct degrees (≤ max degree)."""
+    und = (
+        dedges(spark, sf_dir)
+        .select(
+            F.least("src", "dst").alias("a"), F.greatest("src", "dst").alias("b")
+        )
+        .distinct()
+    )
+    deg = (
+        und.select(F.col("a").alias("u"))
+        .unionAll(und.select(F.col("b").alias("u")))
+        .groupBy("u")
+        .agg(F.count("*").cast("bigint").alias("degree"))
+    )
+    return deg.groupBy("degree").agg(
+        F.count("*").cast("bigint").alias("n_nodes")
+    )
+
+
+@register(
+    "train_mixture_tokens",
+    _TOKS_CTE
+    + """,
+pd AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n FROM toks GROUP BY doc_id),
+ds AS (
+  SELECT d.source,
+         CAST(count(*) AS BIGINT) AS n_docs,
+         CAST(SUM(COALESCE(pd.n, 0)) AS BIGINT) AS n_tokens
+  FROM documents d LEFT JOIN pd ON d.doc_id = pd.doc_id
+  GROUP BY d.source
+),
+tot AS (SELECT CAST(SUM(n_tokens) AS BIGINT) AS t FROM ds)
+SELECT source, n_docs, n_tokens,
+       CAST(n_tokens * 1000000 // tot.t AS BIGINT) AS share_ppm
+FROM ds CROSS JOIN tot
+""",
+)
+def q_train_mixture_tokens(spark, sf_dir):
+    """Data-mixture weights: per-source document and token counts plus
+    each source's exact token share (ppm) of the corpus — the table a
+    training run samples against when balancing web/books/code/...
+    mixtures. Plan: per-doc token counts → doc_id-keyed join with the
+    documents dimension → per-source partial agg (localCheckpoint: the
+    per-source frame feeds both the total and the final projection),
+    then a crossJoin-broadcast of the lazy 1-row total (the
+    scalar-count pattern pinned in tests/test_plan_shapes.py). All
+    BIGINT; share_ppm is one integer division."""
+    tk = tokens(spark, sf_dir).groupBy("doc_id").agg(
+        F.count("*").cast("bigint").alias("n")
+    )
+    d = (
+        _read(spark, sf_dir, "documents")
+        .select("doc_id", "source")
+        .join(tk, "doc_id", "left")
+    )
+    per_src = (
+        d.groupBy("source")
+        .agg(
+            F.count("*").cast("bigint").alias("n_docs"),
+            F.sum(F.coalesce("n", F.lit(0))).cast("bigint").alias("n_tokens"),
+        )
+        .localCheckpoint()  # feeds the 1-row total AND the projection
+    )
+    tot = per_src.agg(F.sum("n_tokens").cast("bigint").alias("t"))
+    return per_src.crossJoin(F.broadcast(tot)).select(
+        "source",
+        "n_docs",
+        "n_tokens",
+        F.expr("CAST(n_tokens * 1000000 div t AS BIGINT)").alias("share_ppm"),
+    )
+
+
+@register(
+    "dedup_containment",
+    _SHINGLES_CTE
+    + """,
+ds AS (SELECT DISTINCT doc_id, shingle FROM shingles),
+sizes AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n FROM ds GROUP BY doc_id),
+inter AS (
+  SELECT a.doc_id AS da, b.doc_id AS db, CAST(count(*) AS BIGINT) AS n_inter
+  FROM ds a JOIN ds b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY a.doc_id, b.doc_id
+)
+SELECT i.da AS doc_a, i.db AS doc_b, i.n_inter,
+       CAST(least(sa.n, sb.n) AS BIGINT) AS n_small,
+       CAST(i.n_inter * 1000000 // least(sa.n, sb.n) AS BIGINT) AS cont_ppm
+FROM inter i
+JOIN sizes sa ON i.da = sa.doc_id
+JOIN sizes sb ON i.db = sb.doc_id
+WHERE i.n_inter * 1000000 // least(sa.n, sb.n) >= 600000
+""",
+)
+def q_dedup_containment(spark, sf_dir):
+    """ASYMMETRIC near-dup: shingle containment of the smaller document
+    in the pair (n_inter / min(|A|,|B|), exact integer ppm, ≥60%).
+    Catches a short page verbatim-embedded in a long one — quote farms,
+    article+comments wrappers — which symmetric Jaccard scores low
+    because the union is dominated by the long side. Plan: distinct
+    (doc, shingle) → shingle-keyed equi self-join (fan-out bounded by
+    shingle df, AQE skew-split; at production scale the same
+    MinHash-band blocking as dedup_minhash_pairs runs first and
+    stages/canonical.py:containment_filter verifies only the
+    candidates — this contract query is its exact whole-corpus twin)
+    → pair agg → two size-dimension joins. No all-pairs product."""
+    ds = shingles(spark, sf_dir).distinct().localCheckpoint()  # 2 consumers
+    sizes = ds.groupBy("doc_id").agg(F.count("*").cast("bigint").alias("n"))
+    a, b = ds.alias("a"), ds.alias("b")
+    inter = (
+        a.join(
+            b,
+            (F.col("a.shingle") == F.col("b.shingle"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .groupBy(
+            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+        )
+        .agg(F.count("*").cast("bigint").alias("n_inter"))
+    )
+    sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n").alias("na"))
+    sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n").alias("nb"))
+    return (
+        inter.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            "n_inter",
+            F.expr("CAST(least(na, nb) AS BIGINT)").alias("n_small"),
+            F.expr(
+                "CAST(n_inter * 1000000 div least(na, nb) AS BIGINT)"
+            ).alias("cont_ppm"),
+        )
+        .filter(F.col("cont_ppm") >= 600_000)
+    )
+
+
+@register(
+    "doc_lm_score",
+    _TOKS_CTE
+    + """,
+bg AS (
+  SELECT doc_id, token AS w1,
+         lead(token) OVER (PARTITION BY doc_id ORDER BY pos) AS w2
+  FROM toks
+),
+bg2 AS (SELECT doc_id, w1, w2 FROM bg WHERE w2 IS NOT NULL),
+lm AS (SELECT w1, w2, CAST(count(*) AS BIGINT) AS c12 FROM bg2 GROUP BY w1, w2),
+c1 AS (SELECT w1, CAST(SUM(c12) AS BIGINT) AS c1 FROM lm GROUP BY w1),
+p AS (
+  SELECT lm.w1, lm.w2, CAST(lm.c12 * 1000000 // c1.c1 AS BIGINT) AS p_ppm
+  FROM lm JOIN c1 ON lm.w1 = c1.w1
+)
+SELECT b.doc_id,
+       CAST(count(*) AS BIGINT) AS n_bigrams,
+       CAST(SUM(p.p_ppm) // count(*) AS BIGINT) AS lm_score_ppm
+FROM bg2 b JOIN p ON b.w1 = p.w1 AND b.w2 = p.w2
+GROUP BY b.doc_id
+""",
+)
+def q_doc_lm_score(spark, sf_dir):
+    """Model-free perplexity proxy: per document, the mean corpus
+    bigram conditional probability (ppm) over its bigram occurrences —
+    low scores flag gibberish/boilerplate-shredded text, the quality
+    signal a curation gate adds next to length/TTR. Everything integer
+    (p_ppm = c12*1e6 div c1; score = sum div count): no log(), no
+    float, engine-exact. Plan: one narrow per-doc lead window → the
+    doc-bigram frame is materialized ONCE (localCheckpoint) and feeds
+    both the LM aggregation and the probability join; the LM and its
+    w1 marginal are map-side partial aggs; final agg keys on doc_id."""
+    t = tokens(spark, sf_dir)
+    w = W.partitionBy("doc_id").orderBy("pos")
+    bg = (
+        t.withColumn("w2", F.lead("token").over(w))
+        .filter(F.col("w2").isNotNull())
+        .select("doc_id", F.col("token").alias("w1"), "w2")
+        .localCheckpoint()  # feeds LM build AND the per-occurrence join
+    )
+    lm = (
+        bg.groupBy("w1", "w2")
+        .agg(F.count("*").cast("bigint").alias("c12"))
+        .localCheckpoint()  # feeds the w1 marginal AND the p join
+    )
+    c1 = lm.groupBy("w1").agg(F.sum("c12").cast("bigint").alias("c1"))
+    p = (
+        lm.join(c1, "w1")
+        .select(
+            "w1",
+            "w2",
+            F.expr("CAST(c12 * 1000000 div c1 AS BIGINT)").alias("p_ppm"),
+        )
+    )
+    return (
+        bg.join(p, ["w1", "w2"])
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").cast("bigint").alias("n_bigrams"),
+            F.expr("CAST(SUM(p_ppm) div count(*) AS BIGINT)").alias(
+                "lm_score_ppm"
+            ),
+        )
+    )
+
+
 # ---------------------------------------------------------------------------
 # driver-gate ordering
 # ---------------------------------------------------------------------------
@@ -4522,6 +4744,11 @@ _DRIVER_PRIORITY = [
     "tpch_cust_order_distribution",
     "kg_entity_trend",
     "dedup_minhash_verified",
+    # --- new in round 4 (never had a driver row yet) ---
+    "kg_graph_degree_dist",
+    "train_mixture_tokens",
+    "dedup_containment",
+    "doc_lm_score",
     # --- veteran anchors (driver-green in r1-r3; keep the flagship
     #     KG chain + dedup/eval spine under the gate) ---
     "kg_triple_counts",
@@ -4534,10 +4761,6 @@ _DRIVER_PRIORITY = [
     "dedup_components",
     "eval_band_pr",
     "merge_conflicts_resolved",
-    "embed_knn_bruteforce",
-    "dedup_exact",
-    "pubtator_rebase",
-    "ner_udf_ngram_mentions",
 ]
 
 

@@ -202,3 +202,31 @@ def test_interval_join_is_hash_join_not_nested_loop(spark):
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
     assert "Join" in plan  # it IS a join — on key + __bin equality
+
+
+def test_round4_queries_have_no_single_partition_exchange(spark):
+    """The round-4 additions must keep every exchange hash-partitioned:
+    degree histogram, containment self-join, LM score and the bigram LM
+    all aggregate/join on real keys — a SinglePartition exchange in any
+    of them is a web-scale straggler."""
+    from easyner_spark.queries import QUERIES
+
+    for name in (
+        "kg_graph_degree_dist",
+        "dedup_containment",
+        "doc_lm_score",
+        "text_bigram_lm",
+    ):
+        plan = _plan(QUERIES[name](spark, SF_DIR))
+        assert "Exchange SinglePartition" not in plan, name
+        assert "WindowExec: No Partition Defined" not in plan, name
+
+
+def test_train_mixture_total_is_lazy_broadcast(spark):
+    """train_mixture_tokens embeds the corpus token total as a
+    broadcast of the lazy 1-row aggregate (crossJoin-broadcast scalar
+    pattern), never an eager .count() literal."""
+    from easyner_spark.queries import QUERIES
+
+    plan = _plan(QUERIES["train_mixture_tokens"](spark, SF_DIR))
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan
