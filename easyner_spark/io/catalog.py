@@ -283,6 +283,83 @@ class CheckpointCatalog:
         # partition directories are filtered out = snapshot isolation)
         return df.filter(F.col("batch_id").isin(*sorted(done))) if done else df
 
+    def compact_stage(
+        self,
+        spark: SparkSession,
+        stage: str,
+        partition_expr,
+        partition_col: str = "batch_id",
+    ) -> dict:
+        """Rewrite a stage into a fresh compact partition keyspace and
+        reset its manifest to ONE snapshot — the Iceberg
+        rewrite_data_files/expire_snapshots analog.
+
+        Append-style stages whose writers mint new partition ranges per
+        commit (e.g. the epoch-scoped signature stage) grow their
+        committed-batch set and manifest without bound: after E epochs
+        every reader carries an E×n_batches-literal isin() filter and
+        every commit re-parses E snapshots. Compacting every K epochs
+        bounds both at K×n_batches — amortized O(corpus/K) per epoch.
+
+        ``partition_expr`` is a Column producing the NEW partition id
+        for each row (e.g. ``pmod(xxhash64("doc_id"), lit(64))``).
+        Crash safety: the compacted data is fully written to a sibling
+        ``<stage>.compacting`` directory before anything existing is
+        touched, so a crash during the (long) rewrite leaves the
+        original stage untouched and served. The final swap is two
+        directory renames + the manifest reset; a crash in that narrow
+        window leaves the previous data preserved in ``<stage>.old``
+        (recovery: rename it back) — the same non-atomic-rename caveat
+        a real object store has, where Iceberg's metadata pointer swap
+        is the fix (README's Iceberg note).
+        """
+        import shutil
+
+        df = self.read_stage(spark, stage).drop(partition_col)
+        compacted = df.withColumn(
+            partition_col, partition_expr.cast("int")
+        ).persist()
+        counters = {
+            int(r[partition_col]): {
+                "rows": r["rows"],
+                "content_hash": r["content_hash"],
+                "content_sum": str(r["content_sum"]),
+            }
+            for r in compacted.groupBy(partition_col)
+            .agg(
+                F.count("*").alias("rows"),
+                F.expr("bit_xor(xxhash64(*))").alias("content_hash"),
+                F.expr("sum(cast(xxhash64(*) as decimal(38,0)))").alias(
+                    "content_sum"
+                ),
+            )
+            .collect()
+        }
+        tmp_dir = self._stage_dir(stage) + ".compacting"
+        shutil.rmtree(tmp_dir, ignore_errors=True)
+        (
+            compacted.write.mode("overwrite")
+            .partitionBy(partition_col)
+            .parquet(tmp_dir)
+        )
+        schema_json = compacted.schema.json()
+        compacted.unpersist()
+        old_dir = self._stage_dir(stage) + ".old"
+        shutil.rmtree(old_dir, ignore_errors=True)
+        os.replace(self._stage_dir(stage), old_dir)
+        os.replace(tmp_dir, self._stage_dir(stage))
+        snap = {
+            "snapshot_id": 0,
+            "ts": time.time(),
+            "compacted": True,
+            "counters": {str(k): v for k, v in counters.items()},
+        }
+        self._store_manifest(
+            stage, {"stage": stage, "snapshots": [snap], "schema": schema_json}
+        )
+        shutil.rmtree(old_dir, ignore_errors=True)
+        return snap
+
     def counters(self, stage: str) -> dict[int, dict]:
         out: dict[int, dict] = {}
         for snap in self._load_manifest(stage)["snapshots"]:

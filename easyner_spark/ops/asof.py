@@ -30,6 +30,19 @@ from __future__ import annotations
 from collections.abc import Sequence
 
 from pyspark.sql import DataFrame, Window as W, functions as F
+from pyspark.sql import types as T
+
+
+def _has_map(dt: T.DataType) -> bool:
+    """True if the type contains a MapType anywhere (xxhash64 rejects
+    maps — unordered, no canonical hash)."""
+    if isinstance(dt, T.MapType):
+        return True
+    if isinstance(dt, T.ArrayType):
+        return _has_map(dt.elementType)
+    if isinstance(dt, T.StructType):
+        return any(_has_map(f.dataType) for f in dt.fields)
+    return False
 
 
 def asof_join(
@@ -56,7 +69,8 @@ def asof_join(
     key (a null-heavy join column, a mega-user) concentrates its whole
     timeline in ONE task whose sort is the straggler. ``salt=S`` splits
     the LEFT rows of every key across S sub-partitions (hash of the
-    left timestamp AND the full left row struct — stateless,
+    left timestamp AND the left row's hashable columns — map-typed
+    columns are skipped, xxhash64 rejects them — stateless,
     layout-invariant, and immune to the coarse-granularity / NULL-ts
     collapse a ts-only hash has: a hot key whose rows share one
     timestamp still spreads by payload) and replicates the RIGHT rows
@@ -99,11 +113,23 @@ def asof_join(
     r2 = r2.withColumn("__l", F.lit(None).cast(l2.schema["__l"].dataType))
     part_keys = list(keys)
     if salt is not None and salt > 1:
-        # hash ts AND the full left row: a ts-only hash collapses to one
+        # hash ts AND the left row: a ts-only hash collapses to one
         # sub-partition when a hot key's rows share few distinct ts
-        # values (coarse timestamps; xxhash64(NULL) is a constant)
+        # values (coarse timestamps; xxhash64(NULL) is a constant).
+        # Map-typed columns are excluded — xxhash64 rejects MapType
+        # (unordered) — so a map-payload left frame still salts by its
+        # hashable columns (ts-only in the degenerate all-map case).
+        hashable = [
+            f.name
+            for f in left.schema.fields
+            if not _has_map(f.dataType)
+        ]
         l2 = l2.withColumn(
-            "__salt", F.pmod(F.xxhash64("__ts", "__l"), F.lit(salt))
+            "__salt",
+            F.pmod(
+                F.xxhash64("__ts", *[F.col(f"__l.{c}") for c in hashable]),
+                F.lit(salt),
+            ),
         )
         r2 = r2.withColumn(
             "__salt", F.explode(F.sequence(F.lit(0), F.lit(salt - 1)))

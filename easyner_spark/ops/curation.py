@@ -18,17 +18,18 @@ Pattern notes (deliberately conservative):
 * ipv4 — four 1-3 digit octets, word-bounded (no range check: a
   curation screen prefers false positives over leaks);
 * ssn — the hyphenated 3-2-4 US form only;
-* phone — one of three anchored shapes: an E.164-style +7-15 digit
+* phone — one of four anchored shapes: an E.164-style +7-15 digit
   run; a HYPHEN-separated three-group form (2-4 / 3-4 / 3-4 digits,
-  both separators hyphens); or a paren-led form ("(555) 123-4567",
-  any of "-. " between groups). Dot/space-separated bare digit runs
-  deliberately do NOT match, so year ranges ("1914-1918"), decimals
-  ("3.1415926"), spaced thousands ("1 000 000" — multi-digit leading
-  group included, e.g. "10 000 000"), dotted thousands ("12.345.678")
-  and SSNs (the 3-2-4 shape) all stay untouched; the accepted cost is
-  missing dot/space-only phone styles ("555.123.4567") unless they
-  carry a paren or plus. A digit lookbehind stops mid-number matches
-  inside longer digit runs.
+  both separators hyphens); a paren-led form ("(555) 123-4567", any
+  of "-. " between groups); or a dot/space-separated form whose FINAL
+  group is exactly 4 digits ("555 123 4567", "555.123.4567") — the
+  discriminator that keeps spaced/dotted thousands out: "1 000 000",
+  "10 000 000" and "12.345.678" end in a 3-digit group, phones end in
+  4. Year ranges ("1914-1918"), decimals ("3.1415926") and SSNs (the
+  3-2-4 shape) also never match; a digit lookbehind/lookahead stops
+  mid-number matches inside longer digit runs. Residual accepted
+  false positive: a dotted/spaced number whose last group really has
+  4 digits ("12.345.6789") — prefer-false-positives posture.
 """
 
 from __future__ import annotations
@@ -42,7 +43,8 @@ PII_PATTERNS: dict[str, str] = {
     "phone": (
         r"(\+[0-9]{7,15}\b"
         r"|(?<![0-9])\(?\+?[0-9]{2,4}\)?-[0-9]{3,4}-[0-9]{3,4}\b"
-        r"|(?<![0-9])\+?\([0-9]{2,4}\)[-. ]?[0-9]{3,4}[-. ][0-9]{3,4}\b)"
+        r"|(?<![0-9])\+?\([0-9]{2,4}\)[-. ]?[0-9]{3,4}[-. ][0-9]{3,4}\b"
+        r"|(?<![0-9])[0-9]{2,4}[. ][0-9]{3,4}[. ][0-9]{4}(?![0-9]))"
     ),
 }
 

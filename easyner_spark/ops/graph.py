@@ -252,13 +252,21 @@ def node_jaccard(
         .union(u.select(F.col("b").alias("u"), F.col("a").alias("v")))
         .localCheckpoint()  # consumed by deg + both self-join sides
     )
-    deg = adj.groupBy("u").agg(F.count("*").cast("bigint").alias("d"))
+    # deg fans out to up to three consumers (hub filter + both degree
+    # dimensions) — materialize the aggregate once
+    deg = (
+        adj.groupBy("u")
+        .agg(F.count("*").cast("bigint").alias("d"))
+        .localCheckpoint()
+    )
     mid = adj
     if max_neighbor_degree is not None:
         hubs = deg.filter(F.col("d") > max_neighbor_degree).select(
             F.col("u").alias("v")
         )
-        mid = adj.join(hubs, "v", "left_anti")
+        # mid feeds both self-join sides; the anti-join result is not a
+        # checkpointed frame like adj, so materialize it too
+        mid = adj.join(hubs, "v", "left_anti").localCheckpoint()
     l, r = mid.alias("l"), mid.alias("r")
     pairs = (
         l.join(r, (F.col("l.v") == F.col("r.v")) & (F.col("l.u") < F.col("r.u")))

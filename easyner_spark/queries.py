@@ -3869,18 +3869,9 @@ def q_text_bigram_lm(spark, sf_dir):
     w1-partitioned window, which would sort every head word's distinct
     successors in one task (vocabulary-bounded but a needless
     sort-based skew point; the agg+join is sort-free and map-side
-    partial). All hash-partitioned, nothing global."""
-    t = tokens(spark, sf_dir)
-    w = W.partitionBy("doc_id").orderBy("pos")
-    big = (
-        t.withColumn("w2", F.lead("token").over(w))
-        .filter(F.col("w2").isNotNull())
-        .groupBy(F.col("token").alias("w1"), "w2")
-        .agg(F.count("*").cast("bigint").alias("c12"))
-        .localCheckpoint()  # feeds the c1 agg AND the join below once
-    )
-    c1 = big.groupBy("w1").agg(F.sum("c12").cast("bigint").alias("c1"))
-    big = big.join(c1, "w1")
+    partial). All hash-partitioned, nothing global. LM construction is
+    shared with doc_lm_score via _doc_bigrams_from/_bigram_lm_from."""
+    big = _bigram_lm_from(_doc_bigrams_from(tokens(spark, sf_dir)))
     return big.filter(F.col("c12") >= 3).select(
         "w1",
         "w2",
@@ -3888,6 +3879,31 @@ def q_text_bigram_lm(spark, sf_dir):
         "c1",
         F.expr("CAST(c12 * 1000000 div c1 AS BIGINT)").alias("p_ppm"),
     )
+
+
+def _doc_bigrams_from(t: DataFrame) -> DataFrame:
+    """(doc_id, pos, token) → per-occurrence bigrams
+    (doc_id, w1, w2). One narrow doc-partitioned lead window."""
+    w = W.partitionBy("doc_id").orderBy("pos")
+    return (
+        t.withColumn("w2", F.lead("token").over(w))
+        .filter(F.col("w2").isNotNull())
+        .select("doc_id", F.col("token").alias("w1"), "w2")
+    )
+
+
+def _bigram_lm_from(bg: DataFrame) -> DataFrame:
+    """Bigram occurrences → the LM count table (w1, w2, c12, c1).
+    Shared by text_bigram_lm (corpus view) and doc_lm_score (per-doc
+    view) so the LM semantics exist exactly once. The c12 aggregate is
+    materialized (two consumers: the w1 marginal and the join)."""
+    lm = (
+        bg.groupBy("w1", "w2")
+        .agg(F.count("*").cast("bigint").alias("c12"))
+        .localCheckpoint()
+    )
+    c1 = lm.groupBy("w1").agg(F.sum("c12").cast("bigint").alias("c1"))
+    return lm.join(c1, "w1")
 
 
 BM25_TERMS = ["spark", "hash", "table", "window"]
@@ -4497,6 +4513,7 @@ def q_kg_graph_degree_dist(spark, sf_dir):
             F.least("src", "dst").alias("a"), F.greatest("src", "dst").alias("b")
         )
         .distinct()
+        .localCheckpoint()  # both unionAll branches; Catalyst won't dedupe
     )
     deg = (
         und.select(F.col("a").alias("u"))
@@ -4658,28 +4675,14 @@ def q_doc_lm_score(spark, sf_dir):
     float, engine-exact. Plan: one narrow per-doc lead window → the
     doc-bigram frame is materialized ONCE (localCheckpoint) and feeds
     both the LM aggregation and the probability join; the LM and its
-    w1 marginal are map-side partial aggs; final agg keys on doc_id."""
-    t = tokens(spark, sf_dir)
-    w = W.partitionBy("doc_id").orderBy("pos")
-    bg = (
-        t.withColumn("w2", F.lead("token").over(w))
-        .filter(F.col("w2").isNotNull())
-        .select("doc_id", F.col("token").alias("w1"), "w2")
-        .localCheckpoint()  # feeds LM build AND the per-occurrence join
-    )
-    lm = (
-        bg.groupBy("w1", "w2")
-        .agg(F.count("*").cast("bigint").alias("c12"))
-        .localCheckpoint()  # feeds the w1 marginal AND the p join
-    )
-    c1 = lm.groupBy("w1").agg(F.sum("c12").cast("bigint").alias("c1"))
-    p = (
-        lm.join(c1, "w1")
-        .select(
-            "w1",
-            "w2",
-            F.expr("CAST(c12 * 1000000 div c1 AS BIGINT)").alias("p_ppm"),
-        )
+    w1 marginal are map-side partial aggs; final agg keys on doc_id.
+    LM construction is the SAME _doc_bigrams_from/_bigram_lm_from
+    text_bigram_lm uses — the two queries cannot silently diverge."""
+    bg = _doc_bigrams_from(tokens(spark, sf_dir)).localCheckpoint()
+    p = _bigram_lm_from(bg).select(
+        "w1",
+        "w2",
+        F.expr("CAST(c12 * 1000000 div c1 AS BIGINT)").alias("p_ppm"),
     )
     return (
         bg.join(p, ["w1", "w2"])

@@ -102,8 +102,12 @@ def epoch_dedup_pairs(
     COMMIT matches: batch ids are epoch-scoped (disjoint per-epoch
     ranges via _sig_batch_key), so each epoch appends exactly its own
     n_batches partitions under skip_committed and the earlier epochs'
-    partitions are never re-read, re-hashed or rewritten. Re-ingested
-    doc_ids are handled explicitly: an anti-join on (doc_id, sig) drops
+    partitions are never re-read, re-hashed or rewritten. The
+    committed-batch set and manifest still grow one epoch-range per
+    ingest; run ``CheckpointCatalog.compact_stage`` every K epochs to
+    reset both to a single n_batches keyspace (amortized O(corpus/K);
+    epoch_seq derivation keeps working — the next epoch after a
+    compaction is 1). Re-ingested doc_ids are handled explicitly: an anti-join on (doc_id, sig) drops
     rows whose exact signature is already committed (re-crawl with
     unchanged content — the same collapse the old union+dropDuplicates
     produced), while changed content keeps both versions (both remain
@@ -141,14 +145,40 @@ def epoch_dedup_pairs(
         .localCheckpoint()
     )
     if done:
-        corpus = cat.read_stage(spark, sig_stage).select("doc_id", "sig")
+        corpus_full = cat.read_stage(spark, sig_stage)
+        corpus = corpus_full.select("doc_id", "sig")
         pairs = incremental_lsh_candidates(
             new_sigs, corpus, id_col="doc_id", max_bucket=max_bucket
         )
         if min_agreement is not None:
-            all_sigs = corpus.unionByName(new_sigs.select("doc_id", "sig"))
+            # verify against ONE signature per doc_id — its LATEST
+            # version (changed-content re-ingests keep every version in
+            # the stage, so a doc_id can own several sig rows; joining
+            # the multi-version table would both duplicate emitted
+            # pairs and let a STALE version pass verification). Epoch
+            # rides in the batch id (batch_id div n_batches); this
+            # epoch's new_sigs outrank every committed row. The window
+            # is per-doc and version-bounded, not a skew point.
+            versioned = corpus_full.select(
+                "doc_id", "sig", F.expr(f"batch_id div {n_batches}").alias("_ep")
+            ).unionByName(
+                new_sigs.select(
+                    "doc_id", "sig", F.lit(epoch_seq).cast("bigint").alias("_ep")
+                )
+            )
+            # sig tiebreak: after a compact_stage all committed rows
+            # share one epoch range, so same-doc versions tie on _ep —
+            # the greatest-sig pick keeps the choice deterministic
+            w = Window.partitionBy("doc_id").orderBy(
+                F.desc("_ep"), F.desc("sig")
+            )
+            latest = (
+                versioned.withColumn("_rn", F.row_number().over(w))
+                .filter(F.col("_rn") == 1)
+                .select("doc_id", "sig")
+            )
             pairs = signature_similarity_filter(
-                pairs, all_sigs, id_col="doc_id", min_agreement=min_agreement
+                pairs, latest, id_col="doc_id", min_agreement=min_agreement
             ).select("src", "dst")
         pairs = pairs.localCheckpoint()
         # append ONLY this epoch's genuinely-new signatures: anti-join

@@ -70,6 +70,8 @@ def test_numeric_prose_is_not_a_phone(spark, text):
         "call +1 (555) 123.4567 today",
         "call +46701234567 today",
         "call (+46)-123-4567 today",
+        "call 555 123 4567 today",
+        "call 555.123.4567 today",
     ],
 )
 def test_real_phone_shapes_still_match(spark, text):

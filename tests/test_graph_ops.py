@@ -251,6 +251,29 @@ def test_asof_join_map_payload_with_tie_break_off(spark):
     assert row["props_r"] == {"a": "1"}
 
 
+def test_asof_join_salted_with_map_columns(spark):
+    """salt=S must work when either side carries a MapType column —
+    xxhash64 rejects maps, so the salt hash skips them (review
+    regression: the full-row salt hash crashed on map-typed left
+    frames)."""
+    from easyner_spark.ops.asof import asof_join
+
+    left = spark.createDataFrame(
+        [(1, 10, {"m": "x"}), (1, 20, {"m": "y"}), (2, 15, {"m": "z"})],
+        "k int, ts int, attrs map<string,string>",
+    )
+    right = spark.createDataFrame(
+        [(1, 5, 1.0), (1, 15, 2.0), (2, 1, 3.0)], "k int, ts int, val double"
+    )
+    got = {
+        (r["k"], r["ts"]): r["val_r"]
+        for r in asof_join(
+            left, right, on="k", tie_break=False, salt=4
+        ).collect()
+    }
+    assert got == {(1, 10): 1.0, (1, 20): 2.0, (2, 15): 3.0}
+
+
 def test_asof_join_rejects_reserved_and_colliding_names(spark):
     """Internal tag columns and suffixed outputs must not silently
     collide with caller columns — clear ValueError instead."""

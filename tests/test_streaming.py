@@ -222,3 +222,71 @@ def test_epoch_dedup_commit_is_append_only_per_epoch(spark, tmp_path):
     epoch_dedup_pairs(spark, wh, e3, n_batches=nb)
     sigs3 = cat.read_stage(spark, "minhash_sigs")
     assert sigs3.filter(F.col("doc_id") == 2).count() == 2
+
+
+def test_epoch_dedup_verifies_against_latest_signature_only(spark, tmp_path):
+    """Review fix: a doc with several committed signature versions must
+    be verified against its LATEST version only — a stale version must
+    not admit a pair, and multi-version joins must not duplicate
+    emitted rows."""
+    from easyner_spark.streaming.ingest import epoch_dedup_pairs
+
+    wh = str(tmp_path / "wh_latestsig")
+    mk = lambda rows: spark.createDataFrame(rows, "doc_id long, text string")
+    text_a = "the quick brown fox jumps over the lazy dog again and again"
+    text_b = "entirely different replacement content with no overlap at all"
+    # epoch 0: docs 1 and 2 share text A
+    epoch_dedup_pairs(spark, wh, mk([(1, text_a), (2, text_a)]))
+    # epoch 1: doc 1 rewritten to text B (both versions stay committed)
+    epoch_dedup_pairs(spark, wh, mk([(1, text_b)]))
+    # epoch 2: doc 9 arrives with text A — it band-collides with doc
+    # 1's STALE signature and doc 2's current one
+    rows = epoch_dedup_pairs(spark, wh, mk([(9, text_a)])).collect()
+    pairs = [(r["doc_a"], r["doc_b"]) for r in rows]
+    assert set(pairs) == {(2, 9)}  # stale (1,9) rejected
+    assert len(pairs) == 1         # and no duplicate emissions
+
+
+def test_compact_stage_resets_keyspace_and_keeps_rows(spark, tmp_path):
+    """compact_stage rewrites an epoch-grown stage into one n_batches
+    keyspace with an identical row set, and the epoch service keeps
+    working afterwards (next epoch = range 1)."""
+    from pyspark.sql import functions as SF
+
+    from easyner_spark.io.catalog import CheckpointCatalog
+    from easyner_spark.streaming.ingest import epoch_dedup_pairs
+
+    wh = str(tmp_path / "wh_compact")
+    nb = 8
+    mk = lambda rows: spark.createDataFrame(rows, "doc_id long, text string")
+    epoch_dedup_pairs(spark, wh, mk(
+        [(1, "alpha beta gamma delta epsilon zeta eta theta iota kappa")]
+    ), n_batches=nb)
+    epoch_dedup_pairs(spark, wh, mk(
+        [(2, "one two three four five six seven eight nine ten eleven")]
+    ), n_batches=nb)
+    cat = CheckpointCatalog(wh)
+    before = {
+        (r["doc_id"], tuple(r["sig"]))
+        for r in cat.read_stage(spark, "minhash_sigs").collect()
+    }
+    assert max(cat.committed_batches("minhash_sigs")) >= nb  # grown
+    cat.compact_stage(
+        spark,
+        "minhash_sigs",
+        SF.pmod(SF.xxhash64("doc_id"), SF.lit(nb)),
+    )
+    after_batches = cat.committed_batches("minhash_sigs")
+    assert after_batches and max(after_batches) < nb  # reset keyspace
+    assert len(cat.history("minhash_sigs")) == 1      # manifest reset
+    after = {
+        (r["doc_id"], tuple(r["sig"]))
+        for r in cat.read_stage(spark, "minhash_sigs").collect()
+    }
+    assert after == before
+    # the epoch service continues: next commit lands in range 1
+    epoch_dedup_pairs(spark, wh, mk(
+        [(3, "red orange yellow green blue indigo violet colors spectrum x")]
+    ), n_batches=nb)
+    new = cat.committed_batches("minhash_sigs") - after_batches
+    assert new and all(nb <= b < 2 * nb for b in new)
