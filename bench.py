@@ -126,6 +126,9 @@ def run_bench(sf_dir: str, cpus: str, n_corpus_docs: int | None = None) -> dict:
         "doc_lm_score",
         "train_mixture_tokens",
         "kg_graph_degree_dist",
+        "kg_graph_pagerank_weighted",
+        "doc_sentence_dup_ratio",
+        "web_url_features",
     ]
     for name in headline:
         # min of two runs: this VM shows sporadic multi-second scheduler

@@ -4696,6 +4696,189 @@ def q_doc_lm_score(spark, sf_dir):
     )
 
 
+WPAGERANK_ITERS = 3
+WPR_SCALE = 10**9  # rank × max edge weight must stay inside int64
+
+
+def _weighted_pagerank_oracle(iters: int, scale: int) -> str:
+    """Unrolled weighted PageRank in ANSI SQL — the DuckDB replay of
+    ops/graph.py:pagerank(weight=...): per edge (rank * w) // wsum,
+    same damping rational, same dangling-mass semantics."""
+    from .ops.graph import PR_DAMP_DEN, PR_DAMP_NUM
+
+    base = (PR_DAMP_DEN - PR_DAMP_NUM) * scale // PR_DAMP_DEN
+    ctes = [f"r0 AS (SELECT node, CAST({scale} AS BIGINT) AS rank FROM nodes)"]
+    for i in range(1, iters + 1):
+        ctes.append(
+            f"""r{i} AS (
+  SELECT n.node,
+         CAST({base} + ({PR_DAMP_NUM} * COALESCE(s.c, 0)) // {PR_DAMP_DEN}
+              AS BIGINT) AS rank
+  FROM nodes n LEFT JOIN (
+    SELECT e.dst AS node, SUM((r.rank * e.w) // d.wsum) AS c
+    FROM wedges e JOIN r{i - 1} r ON e.src = r.node
+                  JOIN outw d ON e.src = d.node
+    GROUP BY e.dst) s ON n.node = s.node)"""
+        )
+    return (
+        _LINKED_CTE
+        + """,
+wedges AS (
+  SELECT a.ent_id AS src, b.ent_id AS dst, CAST(count(*) AS BIGINT) AS w
+  FROM linked a JOIN linked b
+    ON a.doc_id = b.doc_id AND a.sent_idx = b.sent_idx AND a.pos < b.pos
+  WHERE a.ent_id <> b.ent_id
+  GROUP BY a.ent_id, b.ent_id
+),
+nodes AS (SELECT src AS node FROM wedges UNION SELECT dst FROM wedges),
+outw AS (SELECT src AS node, CAST(SUM(w) AS BIGINT) AS wsum
+         FROM wedges GROUP BY src),
+"""
+        + ",\n".join(ctes)
+        + f"\nSELECT node AS ent_id, rank AS rank_scaled FROM r{iters}"
+    )
+
+
+@register(
+    "kg_graph_pagerank_weighted",
+    _weighted_pagerank_oracle(WPAGERANK_ITERS, WPR_SCALE),
+)
+def q_kg_graph_pagerank_weighted(spark, sf_dir):
+    """WEIGHTED entity centrality: PageRank where each edge carries its
+    co-occurrence count, so mass flows proportionally to evidence
+    strength instead of uniformly per neighbor — the centrality a KG
+    actually serves (a once-co-occurring pair shouldn't pull like a
+    thousand-sentence pair). Exact integers throughout ((rank * w) div
+    wsum; scale 1e9 keeps the product inside int64, ANSI-checked);
+    3 fixed rounds so the DuckDB oracle replays the identical
+    recursion. Engine: ops/graph.py:pagerank(weight=...) — same
+    localCheckpoint-per-round plan as the uniform variant."""
+    from .ops.graph import pagerank
+
+    lk = linked(spark, sf_dir)
+    a, b = lk.alias("a"), lk.alias("b")
+    wedges = (
+        a.join(
+            b,
+            (F.col("a.doc_id") == F.col("b.doc_id"))
+            & (F.col("a.sent_idx") == F.col("b.sent_idx"))
+            & (F.col("a.pos") < F.col("b.pos")),
+        )
+        .filter(F.col("a.ent_id") != F.col("b.ent_id"))
+        .groupBy(F.col("a.ent_id").alias("src"), F.col("b.ent_id").alias("dst"))
+        .agg(F.count("*").cast("bigint").alias("w"))
+    )
+    return pagerank(
+        wedges, iterations=WPAGERANK_ITERS, scale=WPR_SCALE, weight="w"
+    ).select(F.col("node").alias("ent_id"), "rank_scaled")
+
+
+@register(
+    "doc_sentence_dup_ratio",
+    _SENTENCES_CTE
+    + """,
+sfreq AS (
+  SELECT sent_text, CAST(count(DISTINCT doc_id) AS BIGINT) AS ndocs
+  FROM sentences GROUP BY sent_text
+)
+SELECT s.doc_id,
+       CAST(count(*) AS BIGINT) AS n_sents,
+       CAST(SUM(CASE WHEN f.ndocs > 1 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_shared,
+       CAST(SUM(CASE WHEN f.ndocs > 1 THEN 1 ELSE 0 END) * 1000000
+            // count(*) AS BIGINT) AS shared_ppm
+FROM sentences s JOIN sfreq f ON s.sent_text = f.sent_text
+GROUP BY s.doc_id
+""",
+)
+def q_doc_sentence_dup_ratio(spark, sf_dir):
+    """SENTENCE-level boilerplate signal: per document, the fraction of
+    its sentences that appear verbatim in at least one OTHER document —
+    the granularity real curation dedups at (page chrome, cookie
+    banners, licence blocks repeat across pages whose documents are
+    not near-dups). Exact integer ppm. Plan: the sentence frame is
+    materialized once (two consumers), the cross-doc frequency is a
+    sent_text-keyed partial agg, and the verdict joins back on
+    sent_text (boilerplate keys are hot — AQE skew-split; at 100 TB
+    the join is against the already-committed sentence stage)."""
+    s = sentences(spark, sf_dir).select("doc_id", "sent_text").localCheckpoint()
+    freq = s.groupBy("sent_text").agg(
+        F.countDistinct("doc_id").cast("bigint").alias("ndocs")
+    )
+    return (
+        s.join(freq, "sent_text")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").cast("bigint").alias("n_sents"),
+            F.sum(F.when(F.col("ndocs") > 1, 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_shared"),
+        )
+        .select(
+            "doc_id",
+            "n_sents",
+            "n_shared",
+            F.expr("CAST(n_shared * 1000000 div n_sents AS BIGINT)").alias(
+                "shared_ppm"
+            ),
+        )
+    )
+
+
+@register(
+    "web_url_features",
+    "WITH "
+    + _URLS_SQL
+    + """,
+u1 AS (
+  SELECT doc_id, url,
+         regexp_replace(regexp_replace(url, '^[A-Za-z][A-Za-z0-9+.-]*://', ''),
+                        '[?#].*$', '') AS hostpath,
+         regexp_extract(url, '\\?[^#]*', 0) AS q
+  FROM urls
+),
+u2 AS (
+  SELECT doc_id, url, q,
+         regexp_replace(hostpath, '^[^/]*', '') AS path
+  FROM u1
+)
+SELECT doc_id, url,
+       CAST(len(list_filter(string_split(path, '/'), x -> x <> ''))
+            AS BIGINT) AS path_depth,
+       CAST(CASE WHEN q = '' THEN 0
+            ELSE len(list_filter(string_split(substr(q, 2), '&'),
+                                 x -> x <> '')) END AS BIGINT) AS n_params,
+       CAST((length(url) - length(regexp_replace(url, '[0-9]', '', 'g')))
+            * 1000000 // length(url) AS BIGINT) AS digit_ppm
+FROM u2
+""",
+)
+def q_web_url_features(spark, sf_dir):
+    """URL feature extraction for crawl-quality scoring: path depth,
+    query-parameter count, digit density (ppm) — the cheap structural
+    signals a crawler uses to down-rank calendar/session/faceted spam
+    URLs before fetching. Pure JVM regexp/split projection, one narrow
+    map stage, no shuffle; every value an exact integer."""
+    u = urls_df(spark, sf_dir).select("doc_id", "url")
+    return u.selectExpr(
+        "doc_id",
+        "url",
+        # strip scheme → strip query/fragment → strip host → count
+        # non-empty path segments
+        r"""CAST(size(filter(split(
+              regexp_replace(regexp_replace(regexp_replace(url,
+                '^[A-Za-z][A-Za-z0-9+.-]*://', ''), '[?#].*$', ''),
+                '^[^/]*', ''),
+              '/'), x -> x != '')) AS BIGINT) AS path_depth""",
+        r"""CAST(CASE WHEN regexp_extract(url, '\\?[^#]*', 0) = '' THEN 0
+             ELSE size(filter(split(
+                    substr(regexp_extract(url, '\\?[^#]*', 0), 2), '&'),
+                  x -> x != '')) END AS BIGINT) AS n_params""",
+        r"""CAST((length(url) - length(regexp_replace(url, '[0-9]', '')))
+             * 1000000 div length(url) AS BIGINT) AS digit_ppm""",
+    )
+
+
 # ---------------------------------------------------------------------------
 # driver-gate ordering
 # ---------------------------------------------------------------------------
@@ -4752,14 +4935,16 @@ _DRIVER_PRIORITY = [
     "train_mixture_tokens",
     "dedup_containment",
     "doc_lm_score",
+    "kg_graph_pagerank_weighted",
+    "doc_sentence_dup_ratio",
+    "web_url_features",
     # --- veteran anchors (driver-green in r1-r3; keep the flagship
-    #     KG chain + dedup/eval spine under the gate) ---
+    #     KG chain + dedup/eval spine under the gate; kg_mentions /
+    #     kg_linked / kg_sentences rotate out after three green
+    #     rounds — still covered by the local 93-query sweep) ---
     "kg_triple_counts",
     "kg_entity_frequency",
     "kg_id_frequency",
-    "kg_mentions",
-    "kg_linked",
-    "kg_sentences",
     "dedup_minhash_pairs",
     "dedup_components",
     "eval_band_pr",

@@ -37,6 +37,60 @@ def test_pagerank_sink_keeps_base_rank(spark):
     assert got["B"] == 150_000 + 85 * 150_000 // 100
 
 
+def test_weighted_pagerank_hand_computed(spark):
+    # A->B w=3, A->C w=1, scale=100: A's mass splits 75/25 by weight.
+    # base = 15; B = 15 + 85*75//100 = 78; C = 15 + 85*25//100 = 36;
+    # A receives nothing -> 15.
+    e = spark.createDataFrame(
+        [("A", "B", 3), ("A", "C", 1)], "src string, dst string, w long"
+    )
+    got = {
+        r["node"]: r["rank_scaled"]
+        for r in pagerank(e, iterations=1, scale=100, weight="w").collect()
+    }
+    assert got == {"A": 15, "B": 78, "C": 36}
+
+
+def test_weighted_pagerank_uniform_weights_match_unweighted(spark):
+    """weight=1 on every edge must reproduce the classic uniform split
+    bit-for-bit (same integer arithmetic path)."""
+    pairs = [("A", "B"), ("A", "C"), ("B", "C"), ("C", "A"), ("C", "D")]
+    e = _edges(spark, pairs)
+    ew = spark.createDataFrame(
+        [(s, d, 1) for s, d in pairs], "src string, dst string, w long"
+    )
+    base = {
+        r["node"]: r["rank_scaled"]
+        for r in pagerank(e, iterations=3, scale=10**6).collect()
+    }
+    weighted = {
+        r["node"]: r["rank_scaled"]
+        for r in pagerank(ew, iterations=3, scale=10**6, weight="w").collect()
+    }
+    assert weighted == base
+
+
+def test_weighted_pagerank_sums_parallel_edges(spark):
+    """Duplicate (src, dst) rows aggregate their weights before the
+    split — A->B listed twice with w=1,w=2 behaves as one w=3 edge."""
+    e1 = spark.createDataFrame(
+        [("A", "B", 1), ("A", "B", 2), ("A", "C", 1)],
+        "src string, dst string, w long",
+    )
+    e2 = spark.createDataFrame(
+        [("A", "B", 3), ("A", "C", 1)], "src string, dst string, w long"
+    )
+    r1 = {
+        r["node"]: r["rank_scaled"]
+        for r in pagerank(e1, iterations=2, scale=100, weight="w").collect()
+    }
+    r2 = {
+        r["node"]: r["rank_scaled"]
+        for r in pagerank(e2, iterations=2, scale=100, weight="w").collect()
+    }
+    assert r1 == r2
+
+
 def test_triangles_counts_each_corner_once(spark):
     # triangle A-B-C plus pendant edge C-D: each triangle corner counts 1,
     # D participates in none (absent from the result)

@@ -216,6 +216,8 @@ def test_round4_queries_have_no_single_partition_exchange(spark):
         "dedup_containment",
         "doc_lm_score",
         "text_bigram_lm",
+        "doc_sentence_dup_ratio",
+        "kg_graph_pagerank_weighted",
     ):
         plan = _plan(QUERIES[name](spark, SF_DIR))
         assert "Exchange SinglePartition" not in plan, name
@@ -230,3 +232,12 @@ def test_train_mixture_total_is_lazy_broadcast(spark):
 
     plan = _plan(QUERIES["train_mixture_tokens"](spark, SF_DIR))
     assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan
+
+
+def test_web_url_features_is_shuffle_free(spark):
+    """URL feature extraction is a pure narrow projection — any
+    Exchange in the plan means a regression to a shuffling formulation."""
+    from easyner_spark.queries import QUERIES
+
+    plan = _plan(QUERIES["web_url_features"](spark, SF_DIR))
+    assert "Exchange" not in plan
