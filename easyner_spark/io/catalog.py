@@ -37,6 +37,31 @@ import time
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
 
+def _content_counters(df: DataFrame, partition_col: str) -> dict[int, dict]:
+    """Per-partition integrity counters: row count + TWO independent
+    order-insensitive folds of xxhash64(*) (bit_xor alone cancels even
+    multisets: {A,A}→{B,B} keeps count AND xor). This is the catalog's
+    integrity core — every site (commit verify, commit record,
+    compaction) must fold identically or resume comparisons break, so
+    it exists exactly once."""
+    return {
+        int(r[partition_col]): {
+            "rows": r["rows"],
+            "content_hash": r["content_hash"],
+            "content_sum": str(r["content_sum"]),
+        }
+        for r in df.groupBy(partition_col)
+        .agg(
+            F.count("*").alias("rows"),
+            F.expr("bit_xor(xxhash64(*))").alias("content_hash"),
+            F.expr("sum(cast(xxhash64(*) as decimal(38,0)))").alias(
+                "content_sum"
+            ),
+        )
+        .collect()
+    }
+
+
 class CheckpointCatalog:
     def __init__(self, root: str, use_iceberg: bool = False):
         self.root = root
@@ -51,7 +76,13 @@ class CheckpointCatalog:
 
     # ------------------------------------------------------------------
     def _stage_dir(self, stage: str) -> str:
-        return os.path.join(self.root, stage)
+        """CURRENT data directory of a stage. Normally ``<root>/<stage>``;
+        after a compaction the manifest's ``data_dir`` pointer names a
+        generation directory (``<stage>.gen1``, ...) — the
+        metadata-pointer indirection that makes compaction commit
+        atomically at the manifest swap (Iceberg's design)."""
+        man = self._load_manifest(stage)
+        return os.path.join(self.root, man.get("data_dir", stage))
 
     def _manifest_path(self, stage: str) -> str:
         return os.path.join(self.root, f"{stage}._manifest.json")
@@ -160,30 +191,23 @@ class CheckpointCatalog:
             pending = df.filter(~F.col(partition_col).isin(*sorted(done)))
         elif done:
             committed = self.counters(stage)
-            incoming = {
-                int(r[partition_col]): (r["n"], r["h"], str(r["s"]))
-                for r in df.groupBy(partition_col)
-                .agg(
-                    F.count("*").alias("n"),
-                    F.expr("bit_xor(xxhash64(*))").alias("h"),
-                    F.expr("sum(cast(xxhash64(*) as decimal(38,0)))").alias("s"),
-                )
-                .collect()
-            }
+            incoming = _content_counters(df, partition_col)
 
-            def _same(b: int, n: int, h, s: str) -> bool:
+            def _same(b: int, inc: dict) -> bool:
                 c = committed.get(b)
-                if c is None or c["rows"] != n:
+                if c is None or c["rows"] != inc["rows"]:
                     return False
-                # BOTH folds must match (xor alone cancels even
-                # multisets: {A,A}→{B,B} keeps count AND xor); missing
-                # keys = pre-hash manifests → count-only fallback
-                if "content_hash" in c and c["content_hash"] != h:
+                # BOTH folds must match; missing keys = pre-hash
+                # manifests → count-only fallback
+                if "content_hash" in c and c["content_hash"] != inc["content_hash"]:
                     return False
-                return "content_sum" not in c or c["content_sum"] == s
+                return (
+                    "content_sum" not in c
+                    or c["content_sum"] == inc["content_sum"]
+                )
 
             changed = sorted(
-                b for b, (n, h, s) in incoming.items() if not _same(b, n, h, s)
+                b for b, inc in incoming.items() if not _same(b, inc)
             )
             # retract committed batches absent from the incoming frame
             # (input shrank): delete their partition dirs and tombstone
@@ -216,22 +240,7 @@ class CheckpointCatalog:
         # the row hashes means a silent divergence needs an engineered
         # collision in two independent folds.
         pending = pending.persist()
-        counters = {
-            int(r[partition_col]): {
-                "rows": r["rows"],
-                "content_hash": r["content_hash"],
-                "content_sum": str(r["content_sum"]),
-            }
-            for r in pending.groupBy(partition_col)
-            .agg(
-                F.count("*").alias("rows"),
-                F.expr("bit_xor(xxhash64(*))").alias("content_hash"),
-                F.expr("sum(cast(xxhash64(*) as decimal(38,0)))").alias(
-                    "content_sum"
-                ),
-            )
-            .collect()
-        }
+        counters = _content_counters(pending, partition_col)
         if not counters:
             pending.unpersist()
             return {}
@@ -288,10 +297,9 @@ class CheckpointCatalog:
         spark: SparkSession,
         stage: str,
         partition_expr,
-        partition_col: str = "batch_id",
     ) -> dict:
-        """Rewrite a stage into a fresh compact partition keyspace and
-        reset its manifest to ONE snapshot — the Iceberg
+        """Rewrite a stage into a fresh compact ``batch_id`` keyspace
+        and reset its manifest to ONE snapshot — the Iceberg
         rewrite_data_files/expire_snapshots analog.
 
         Append-style stages whose writers mint new partition ranges per
@@ -300,64 +308,60 @@ class CheckpointCatalog:
         every reader carries an E×n_batches-literal isin() filter and
         every commit re-parses E snapshots. Compacting every K epochs
         bounds both at K×n_batches — amortized O(corpus/K) per epoch.
+        Only ``batch_id`` is rewritten; every data column (including
+        any version/epoch column the stage carries) is preserved.
 
-        ``partition_expr`` is a Column producing the NEW partition id
-        for each row (e.g. ``pmod(xxhash64("doc_id"), lit(64))``).
-        Crash safety: the compacted data is fully written to a sibling
-        ``<stage>.compacting`` directory before anything existing is
-        touched, so a crash during the (long) rewrite leaves the
-        original stage untouched and served. The final swap is two
-        directory renames + the manifest reset; a crash in that narrow
-        window leaves the previous data preserved in ``<stage>.old``
-        (recovery: rename it back) — the same non-atomic-rename caveat
-        a real object store has, where Iceberg's metadata pointer swap
-        is the fix (README's Iceberg note).
+        ``partition_expr`` is a Column producing the NEW batch_id for
+        each row (e.g. ``pmod(xxhash64("doc_id"), lit(64))``).
+
+        Crash safety — the manifest swap is the SINGLE commit point:
+        the compacted data is fully written to a fresh generation
+        directory (``<stage>.gen1``, ``.gen2``, ...) while the current
+        generation keeps serving; then one atomic ``_store_manifest``
+        flips the ``data_dir`` pointer, the snapshot list and the
+        committed-batch set together. A crash at ANY point before the
+        swap leaves the old generation fully intact and served (the
+        half-written new generation is an unreferenced orphan); after
+        the swap, only the obsolete old generation remains to be
+        garbage-collected (best-effort rmtree at the end).
         """
         import shutil
 
-        df = self.read_stage(spark, stage).drop(partition_col)
+        man = self._load_manifest(stage)
+        cur = man.get("data_dir", stage)
+        gen = int(cur.rsplit(".gen", 1)[1]) if ".gen" in cur else 0
+        new_dir_name = f"{stage}.gen{gen + 1}"
+        new_dir = os.path.join(self.root, new_dir_name)
+        shutil.rmtree(new_dir, ignore_errors=True)
+
+        df = self.read_stage(spark, stage).drop("batch_id")
         compacted = df.withColumn(
-            partition_col, partition_expr.cast("int")
+            "batch_id", partition_expr.cast("int")
         ).persist()
-        counters = {
-            int(r[partition_col]): {
-                "rows": r["rows"],
-                "content_hash": r["content_hash"],
-                "content_sum": str(r["content_sum"]),
-            }
-            for r in compacted.groupBy(partition_col)
-            .agg(
-                F.count("*").alias("rows"),
-                F.expr("bit_xor(xxhash64(*))").alias("content_hash"),
-                F.expr("sum(cast(xxhash64(*) as decimal(38,0)))").alias(
-                    "content_sum"
-                ),
-            )
-            .collect()
-        }
-        tmp_dir = self._stage_dir(stage) + ".compacting"
-        shutil.rmtree(tmp_dir, ignore_errors=True)
-        (
-            compacted.write.mode("overwrite")
-            .partitionBy(partition_col)
-            .parquet(tmp_dir)
+        counters = _content_counters(compacted, "batch_id")
+        compacted.write.mode("overwrite").partitionBy("batch_id").parquet(
+            new_dir
         )
         schema_json = compacted.schema.json()
         compacted.unpersist()
-        old_dir = self._stage_dir(stage) + ".old"
-        shutil.rmtree(old_dir, ignore_errors=True)
-        os.replace(self._stage_dir(stage), old_dir)
-        os.replace(tmp_dir, self._stage_dir(stage))
         snap = {
             "snapshot_id": 0,
             "ts": time.time(),
             "compacted": True,
             "counters": {str(k): v for k, v in counters.items()},
         }
+        # the atomic commit: pointer + snapshots + schema in one swap
         self._store_manifest(
-            stage, {"stage": stage, "snapshots": [snap], "schema": schema_json}
+            stage,
+            {
+                "stage": stage,
+                "data_dir": new_dir_name,
+                "snapshots": [snap],
+                "schema": schema_json,
+            },
         )
-        shutil.rmtree(old_dir, ignore_errors=True)
+        old_dir = os.path.join(self.root, cur)
+        shutil.rmtree(old_dir, ignore_errors=True)  # GC, post-commit
         return snap
 
     def counters(self, stage: str) -> dict[int, dict]:

@@ -72,11 +72,13 @@ def pagerank(
     ``weight`` (optional column name): WEIGHTED PageRank — per edge the
     contribution becomes ``(rank * w) div wsum`` where wsum is the
     source node's total out-weight (exact integers; parallel edges are
-    summed). Pick ``scale`` so rank × max-edge-weight stays inside
-    int64 (ANSI mode fails loudly otherwise) — e.g. 1e9 for
-    co-occurrence weights up to ~1e4 on million-node graphs. With
-    weight=None the classic uniform split runs, bit-identical to
-    before the option existed.
+    summed). Weights must be POSITIVE: rows with w <= 0 are dropped
+    before aggregation (a zero-out-weight source would divide by zero;
+    negative weights would floor/truncate differently across engines).
+    Pick ``scale`` so rank × max-edge-weight stays inside int64 (ANSI
+    mode fails loudly otherwise) — e.g. 1e9 for co-occurrence weights
+    up to ~1e4 on million-node graphs. With weight=None the classic
+    uniform split runs, bit-identical to before the option existed.
 
     Plan shape: the (src, dst, out_degree) table is materialized once
     (localCheckpoint) and reused every round; each iteration is one
@@ -99,6 +101,7 @@ def pagerank(
                 F.col(dst).alias("dst"),
                 F.col(weight).cast("bigint").alias("w"),
             )
+            .filter(F.col("w") > 0)  # see docstring: positive weights only
             .groupBy("src", "dst")
             .agg(F.sum("w").cast("bigint").alias("w"))
             .localCheckpoint()

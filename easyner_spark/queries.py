@@ -2701,6 +2701,27 @@ def dedges(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def wedges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WEIGHTED co-occurrence edges (src, dst, w) — dedges' weighted
+    sibling: same self-join shape and self-loop filter, count instead
+    of distinct, so every weighted graph op runs on the same graph
+    definition (kg_graph_edges keeps its own published contract with
+    doc-support columns and no loop filter)."""
+    lk = linked(spark, sf_dir)
+    a, b = lk.alias("a"), lk.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.doc_id") == F.col("b.doc_id"))
+            & (F.col("a.sent_idx") == F.col("b.sent_idx"))
+            & (F.col("a.pos") < F.col("b.pos")),
+        )
+        .filter(F.col("a.ent_id") != F.col("b.ent_id"))
+        .groupBy(F.col("a.ent_id").alias("src"), F.col("b.ent_id").alias("dst"))
+        .agg(F.count("*").cast("bigint").alias("w"))
+    )
+
+
 def _pagerank_oracle(iters: int) -> str:
     """Unrolled fixed-point PageRank in ANSI SQL (DuckDB lacks aggregates
     in recursive CTE terms, so the fixed iteration count is unrolled —
@@ -4752,24 +4773,15 @@ def q_kg_graph_pagerank_weighted(spark, sf_dir):
     wsum; scale 1e9 keeps the product inside int64, ANSI-checked);
     3 fixed rounds so the DuckDB oracle replays the identical
     recursion. Engine: ops/graph.py:pagerank(weight=...) — same
-    localCheckpoint-per-round plan as the uniform variant."""
+    localCheckpoint-per-round plan as the uniform variant; the graph is
+    the shared wedges() helper (dedges' weighted sibling)."""
     from .ops.graph import pagerank
 
-    lk = linked(spark, sf_dir)
-    a, b = lk.alias("a"), lk.alias("b")
-    wedges = (
-        a.join(
-            b,
-            (F.col("a.doc_id") == F.col("b.doc_id"))
-            & (F.col("a.sent_idx") == F.col("b.sent_idx"))
-            & (F.col("a.pos") < F.col("b.pos")),
-        )
-        .filter(F.col("a.ent_id") != F.col("b.ent_id"))
-        .groupBy(F.col("a.ent_id").alias("src"), F.col("b.ent_id").alias("dst"))
-        .agg(F.count("*").cast("bigint").alias("w"))
-    )
     return pagerank(
-        wedges, iterations=WPAGERANK_ITERS, scale=WPR_SCALE, weight="w"
+        wedges(spark, sf_dir),
+        iterations=WPAGERANK_ITERS,
+        scale=WPR_SCALE,
+        weight="w",
     ).select(F.col("node").alias("ent_id"), "rank_scaled")
 
 

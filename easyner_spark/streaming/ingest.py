@@ -61,16 +61,17 @@ def read_page_stream(
     return raw.withWatermark("warc_ts", watermark).dropDuplicates(["url", "warc_ts"])
 
 
-def _sig_batch_key(n_batches: int, epoch_seq: int):
-    """Signature-stage partition key, EPOCH-SCOPED: batch_id =
-    epoch_seq * n_batches + hash(doc_id) % n_batches. Each epoch owns a
-    disjoint batch-id range, so committing an epoch touches only its
+def _sig_batch_key(n_batches: int, range_seq: int):
+    """Signature-stage partition key, RANGE-SCOPED: batch_id =
+    range_seq * n_batches + hash(doc_id) % n_batches. Each commit owns
+    a disjoint batch-id range, so committing an epoch touches only its
     own n_batches partitions — the corpus partitions written by earlier
     epochs are never re-hashed or rewritten (O(epoch) commit cost, not
-    O(corpus); ADVICE r3). A row's batch is fixed at its commit epoch
-    forever."""
+    O(corpus); ADVICE r3). A row's batch is fixed at commit time
+    forever; the VERSION counter is the separate ``epoch`` data column
+    (batch ranges reset at compaction, epochs never do)."""
     return (
-        F.lit(epoch_seq * n_batches)
+        F.lit(range_seq * n_batches)
         + F.pmod(F.xxhash64("doc_id"), F.lit(n_batches))
     ).cast("int")
 
@@ -132,20 +133,38 @@ def epoch_dedup_pairs(
 
     cat = CheckpointCatalog(warehouse)
     done = cat.committed_batches(sig_stage)
-    # next free epoch range: one above the highest committed epoch
-    epoch_seq = (max(done) // n_batches + 1) if done else 0
+    if done:
+        corpus_full = cat.read_stage(spark, sig_stage)
+        # the epoch counter lives in an EXPLICIT column, not the batch
+        # id: compact_stage rewrites batch ids into one flat keyspace
+        # but preserves data columns, so version ordering survives
+        # compaction. One column-pruned max over the committed stage
+        # (footer-stats-sized with parquet aggregate pushdown).
+        epoch_seq = int(
+            corpus_full.agg(F.max("epoch").alias("m")).first()["m"]
+        ) + 1
+    else:
+        corpus_full = None
+        epoch_seq = 0
+    # the batch-id RANGE is derived from committed batches (append-only
+    # invariant); it tracks the epoch counter until a compaction resets
+    # the keyspace, after which ranges restart while `epoch` keeps
+    # climbing
+    batch_range = (max(done) // n_batches + 1) if done else 0
     # materialized once: the epoch's shingle/minhash aggregate feeds the
     # pair probe, the similarity filter AND the signature-stage commit
     # — without this it recomputes per consumer
     new_sigs = (
         minhash_signatures(epoch_docs, id_col="doc_id", name_col="text")
         .select(
-            "doc_id", "sig", _sig_batch_key(n_batches, epoch_seq).alias("batch_id")
+            "doc_id",
+            "sig",
+            F.lit(epoch_seq).cast("bigint").alias("epoch"),
+            _sig_batch_key(n_batches, batch_range).alias("batch_id"),
         )
         .localCheckpoint()
     )
     if done:
-        corpus_full = cat.read_stage(spark, sig_stage)
         corpus = corpus_full.select("doc_id", "sig")
         pairs = incremental_lsh_candidates(
             new_sigs, corpus, id_col="doc_id", max_bucket=max_bucket
@@ -155,22 +174,25 @@ def epoch_dedup_pairs(
             # version (changed-content re-ingests keep every version in
             # the stage, so a doc_id can own several sig rows; joining
             # the multi-version table would both duplicate emitted
-            # pairs and let a STALE version pass verification). Epoch
-            # rides in the batch id (batch_id div n_batches); this
-            # epoch's new_sigs outrank every committed row. The window
-            # is per-doc and version-bounded, not a skew point.
-            versioned = corpus_full.select(
-                "doc_id", "sig", F.expr(f"batch_id div {n_batches}").alias("_ep")
-            ).unionByName(
-                new_sigs.select(
-                    "doc_id", "sig", F.lit(epoch_seq).cast("bigint").alias("_ep")
-                )
+            # pairs and let a STALE version pass verification). The
+            # window input is first semi-joined down to the docs that
+            # actually appear in candidate pairs — O(candidates), not
+            # an O(corpus) shuffle-sort per epoch.
+            pairs = pairs.localCheckpoint()  # feeds members + the filter
+            members = (
+                pairs.select(F.col("src").alias("doc_id"))
+                .unionByName(pairs.select(F.col("dst").alias("doc_id")))
+                .distinct()
             )
-            # sig tiebreak: after a compact_stage all committed rows
-            # share one epoch range, so same-doc versions tie on _ep —
-            # the greatest-sig pick keeps the choice deterministic
+            versioned = (
+                corpus_full.select("doc_id", "sig", "epoch")
+                .unionByName(new_sigs.select("doc_id", "sig", "epoch"))
+                .join(members, "doc_id", "left_semi")
+            )
+            # sig tiebreak: defensive determinism only (epoch values
+            # never collide across commits, compaction included)
             w = Window.partitionBy("doc_id").orderBy(
-                F.desc("_ep"), F.desc("sig")
+                F.desc("epoch"), F.desc("sig")
             )
             latest = (
                 versioned.withColumn("_rn", F.row_number().over(w))

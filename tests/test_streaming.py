@@ -228,7 +228,12 @@ def test_epoch_dedup_verifies_against_latest_signature_only(spark, tmp_path):
     """Review fix: a doc with several committed signature versions must
     be verified against its LATEST version only — a stale version must
     not admit a pair, and multi-version joins must not duplicate
-    emitted rows."""
+    emitted rows. A compact_stage between the versions and the probe
+    must NOT break this: the version order lives in the explicit epoch
+    column, which compaction preserves while rewriting batch ids."""
+    from pyspark.sql import functions as SF
+
+    from easyner_spark.io.catalog import CheckpointCatalog
     from easyner_spark.streaming.ingest import epoch_dedup_pairs
 
     wh = str(tmp_path / "wh_latestsig")
@@ -239,6 +244,11 @@ def test_epoch_dedup_verifies_against_latest_signature_only(spark, tmp_path):
     epoch_dedup_pairs(spark, wh, mk([(1, text_a), (2, text_a)]))
     # epoch 1: doc 1 rewritten to text B (both versions stay committed)
     epoch_dedup_pairs(spark, wh, mk([(1, text_b)]))
+    # compaction flattens the batch-id keyspace — the version ordering
+    # must survive it (review r4: a batch-id-derived epoch did not)
+    CheckpointCatalog(wh).compact_stage(
+        spark, "minhash_sigs", SF.pmod(SF.xxhash64("doc_id"), SF.lit(8))
+    )
     # epoch 2: doc 9 arrives with text A — it band-collides with doc
     # 1's STALE signature and doc 2's current one
     rows = epoch_dedup_pairs(spark, wh, mk([(9, text_a)])).collect()
