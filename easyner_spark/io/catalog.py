@@ -32,6 +32,7 @@ from __future__ import annotations
 
 import json
 import os
+import re as _re
 import time
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
@@ -297,6 +298,7 @@ class CheckpointCatalog:
         spark: SparkSession,
         stage: str,
         partition_expr,
+        manifest_extra: dict | None = None,
     ) -> dict:
         """Rewrite a stage into a fresh compact ``batch_id`` keyspace
         and reset its manifest to ONE snapshot — the Iceberg
@@ -313,6 +315,11 @@ class CheckpointCatalog:
 
         ``partition_expr`` is a Column producing the NEW batch_id for
         each row (e.g. ``pmod(xxhash64("doc_id"), lit(64))``).
+        ``manifest_extra`` (optional dict) is merged into the new
+        manifest inside the SAME atomic swap — writers use it to carry
+        counters that must survive the keyspace reset (e.g. the epoch
+        service's ``epoch_base``; streaming/ingest.py
+        compact_sig_stage).
 
         Crash safety — the manifest swap is the SINGLE commit point:
         the compacted data is fully written to a fresh generation
@@ -332,7 +339,16 @@ class CheckpointCatalog:
         gen = int(cur.rsplit(".gen", 1)[1]) if ".gen" in cur else 0
         new_dir_name = f"{stage}.gen{gen + 1}"
         new_dir = os.path.join(self.root, new_dir_name)
-        shutil.rmtree(new_dir, ignore_errors=True)
+        # GC every unreferenced generation up front — a crash between a
+        # previous compaction's manifest swap and its own GC would
+        # otherwise leak one full stage copy per crashed run forever
+        # (only the manifest's current data_dir is live)
+        for entry in os.listdir(self.root):
+            if entry != cur and (
+                entry == stage
+                or _re.fullmatch(_re.escape(stage) + r"\.gen\d+", entry)
+            ):
+                shutil.rmtree(os.path.join(self.root, entry), ignore_errors=True)
 
         df = self.read_stage(spark, stage).drop("batch_id")
         compacted = df.withColumn(
@@ -350,16 +366,17 @@ class CheckpointCatalog:
             "compacted": True,
             "counters": {str(k): v for k, v in counters.items()},
         }
-        # the atomic commit: pointer + snapshots + schema in one swap
-        self._store_manifest(
-            stage,
-            {
-                "stage": stage,
-                "data_dir": new_dir_name,
-                "snapshots": [snap],
-                "schema": schema_json,
-            },
-        )
+        # the atomic commit: pointer + snapshots + schema (+ any
+        # caller-carried counters) in one swap
+        new_man = {
+            "stage": stage,
+            "data_dir": new_dir_name,
+            "snapshots": [snap],
+            "schema": schema_json,
+        }
+        if manifest_extra:
+            new_man.update(manifest_extra)
+        self._store_manifest(stage, new_man)
         old_dir = os.path.join(self.root, cur)
         shutil.rmtree(old_dir, ignore_errors=True)  # GC, post-commit
         return snap

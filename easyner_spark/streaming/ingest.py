@@ -105,10 +105,13 @@ def epoch_dedup_pairs(
     n_batches partitions under skip_committed and the earlier epochs'
     partitions are never re-read, re-hashed or rewritten. The
     committed-batch set and manifest still grow one epoch-range per
-    ingest; run ``CheckpointCatalog.compact_stage`` every K epochs to
-    reset both to a single n_batches keyspace (amortized O(corpus/K);
-    epoch_seq derivation keeps working — the next epoch after a
-    compaction is 1). Re-ingested doc_ids are handled explicitly: an anti-join on (doc_id, sig) drops
+    ingest; run ``compact_sig_stage`` (below) every K epochs to reset
+    both to a single n_batches keyspace (amortized O(corpus/K)). The
+    VERSION counter is the explicit ``epoch`` data column — it keeps
+    climbing monotonically across compactions (the wrapper records an
+    ``epoch_base`` in the manifest inside the same atomic swap), while
+    only the batch-id RANGES restart. Re-ingested doc_ids are handled
+    explicitly: an anti-join on (doc_id, sig) drops
     rows whose exact signature is already committed (re-crawl with
     unchanged content — the same collapse the old union+dropDuplicates
     produced), while changed content keeps both versions (both remain
@@ -133,24 +136,41 @@ def epoch_dedup_pairs(
 
     cat = CheckpointCatalog(warehouse)
     done = cat.committed_batches(sig_stage)
+    # the batch-id RANGE is derived from committed batches (append-only
+    # invariant); it resets when a compaction flattens the keyspace,
+    # while the `epoch` version counter keeps climbing
+    batch_range = (max(done) // n_batches + 1) if done else 0
+    legacy_schema = False
     if done:
         corpus_full = cat.read_stage(spark, sig_stage)
-        # the epoch counter lives in an EXPLICIT column, not the batch
-        # id: compact_stage rewrites batch ids into one flat keyspace
-        # but preserves data columns, so version ordering survives
-        # compaction. One column-pruned max over the committed stage
-        # (footer-stats-sized with parquet aggregate pushdown).
-        epoch_seq = int(
-            corpus_full.agg(F.max("epoch").alias("m")).first()["m"]
-        ) + 1
+        if "epoch" not in corpus_full.columns:
+            # warehouse committed before the explicit-epoch schema: the
+            # old scheme carried the version in the batch id. Derive it
+            # (batch ids were epoch-scoped then) and KEEP committing in
+            # the legacy shape — mixing schemas across partition dirs
+            # would make the parquet read schema footer-dependent.
+            legacy_schema = True
+            corpus_full = corpus_full.withColumn(
+                "epoch", F.expr(f"batch_id div {n_batches}").cast("bigint")
+            )
+        # next epoch number, cheapest source first:
+        #  1. epoch_base recorded by compact_sig_stage (O(manifest));
+        #  2. plain append-only history: epoch == batch range (each
+        #     effective commit bumps both, from 0);
+        #  3. compacted WITHOUT the wrapper (direct compact_stage):
+        #     one max over the preserved epoch column.
+        man_base = cat._load_manifest(sig_stage).get("epoch_base")
+        if man_base is not None:
+            epoch_seq = int(man_base) + batch_range
+        elif not cat._load_manifest(sig_stage).get("data_dir"):
+            epoch_seq = batch_range
+        else:
+            epoch_seq = (
+                int(corpus_full.agg(F.max("epoch").alias("m")).first()["m"]) + 1
+            )
     else:
         corpus_full = None
         epoch_seq = 0
-    # the batch-id RANGE is derived from committed batches (append-only
-    # invariant); it tracks the epoch counter until a compaction resets
-    # the keyspace, after which ranges restart while `epoch` keeps
-    # climbing
-    batch_range = (max(done) // n_batches + 1) if done else 0
     # materialized once: the epoch's shingle/minhash aggregate feeds the
     # pair probe, the similarity filter AND the signature-stage commit
     # — without this it recomputes per consumer
@@ -203,11 +223,29 @@ def epoch_dedup_pairs(
                 pairs, latest, id_col="doc_id", min_agreement=min_agreement
             ).select("src", "dst")
         pairs = pairs.localCheckpoint()
-        # append ONLY this epoch's genuinely-new signatures: anti-join
-        # on (doc_id, sig) collapses unchanged re-ingests; the write
-        # touches only the epoch's own batch range (skip_committed —
-        # earlier epochs' partitions are immutable by construction)
-        fresh = new_sigs.join(corpus, ["doc_id", "sig"], "left_anti")
+        # append ONLY this epoch's genuinely-new signatures. The
+        # anti-join is against each re-ingested doc's LATEST committed
+        # version, not all versions: a doc whose content REVERTS to an
+        # older committed text must re-commit (advancing its epoch so
+        # verification tracks the current content again), while an
+        # unchanged re-ingest still collapses. The window input is
+        # semi-joined down to this epoch's doc ids — O(epoch), not
+        # O(corpus). The write touches only the epoch's own batch range
+        # (skip_committed — earlier partitions are immutable).
+        new_ids = new_sigs.select("doc_id").distinct()
+        wl = Window.partitionBy("doc_id").orderBy(
+            F.desc("epoch"), F.desc("sig")
+        )
+        latest_committed = (
+            corpus_full.select("doc_id", "sig", "epoch")
+            .join(new_ids, "doc_id", "left_semi")
+            .withColumn("_rn", F.row_number().over(wl))
+            .filter(F.col("_rn") == 1)
+            .select("doc_id", "sig")
+        )
+        fresh = new_sigs.join(latest_committed, ["doc_id", "sig"], "left_anti")
+        if legacy_schema:
+            fresh = fresh.drop("epoch")
         cat.write_stage(fresh, sig_stage, resume_mode="skip_committed")
     else:
         pairs = lsh_candidate_pairs(
@@ -221,6 +259,46 @@ def epoch_dedup_pairs(
         cat.write_stage(new_sigs, sig_stage, resume_mode="skip_committed")
     return pairs.select(
         F.col("src").alias("doc_a"), F.col("dst").alias("doc_b")
+    )
+
+
+def compact_sig_stage(
+    spark: SparkSession,
+    warehouse: str,
+    sig_stage: str = "minhash_sigs",
+    n_batches: int = 64,
+) -> dict:
+    """Compact the epoch-grown signature stage into one n_batches
+    keyspace, recording the epoch counter's continuation point
+    (``epoch_base``) in the manifest INSIDE the same atomic swap — the
+    O(manifest) path for epoch_seq derivation after compaction (a
+    direct ``compact_stage`` call also works; epoch_dedup_pairs then
+    falls back to one max() over the preserved epoch column)."""
+    cat = CheckpointCatalog(warehouse)
+    done = cat.committed_batches(sig_stage)
+    if not done:
+        raise ValueError(f"stage '{sig_stage}' has no committed batches")
+    man = cat._load_manifest(sig_stage)
+    batch_range = max(done) // n_batches + 1
+    if man.get("epoch_base") is not None:
+        next_epoch = int(man["epoch_base"]) + batch_range
+    elif not man.get("data_dir"):
+        next_epoch = batch_range  # plain append-only history
+    else:
+        cur = cat.read_stage(spark, sig_stage)
+        if "epoch" not in cur.columns:
+            cur = cur.withColumn(
+                "epoch", F.expr(f"batch_id div {n_batches}").cast("bigint")
+            )
+        next_epoch = int(cur.agg(F.max("epoch").alias("m")).first()["m"]) + 1
+    # post-compaction batch_range is 1 (all data in range 0), so the
+    # invariant next_epoch == epoch_base + batch_range needs base =
+    # next_epoch - 1
+    return cat.compact_stage(
+        spark,
+        sig_stage,
+        _sig_batch_key(n_batches, 0),
+        manifest_extra={"epoch_base": next_epoch - 1},
     )
 
 
@@ -303,8 +381,11 @@ def read_documents_epochs(spark: SparkSession, warehouse: str) -> DataFrame:
     # read), strictly stronger than read_stage's post-filter. Epoch and
     # batch_id ride in on the file path (leaf-dir reads skip partition
     # discovery, which cannot mix non-key=value epoch roots).
+    # resolve each stage's CURRENT data directory through the catalog
+    # (the manifest data_dir pointer — a compacted stage lives in a
+    # .genN generation dir, not the bare stage name)
     paths = [
-        os.path.join(warehouse, n, f"batch_id={b}")
+        os.path.join(cat._stage_dir(n), f"batch_id={b}")
         for n in names
         for b in sorted(cat.committed_batches(n))
     ]
@@ -313,7 +394,9 @@ def read_documents_epochs(spark: SparkSession, warehouse: str) -> DataFrame:
         .withColumn(
             "_epoch",
             F.regexp_extract(
-                F.input_file_name(), r"documents_epoch(\d+)/", 1
+                F.input_file_name(),
+                r"documents_epoch(\d+)(?:\.gen\d+)?/",
+                1,
             ).cast("long"),
         )
         .withColumn(

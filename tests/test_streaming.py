@@ -258,11 +258,10 @@ def test_epoch_dedup_verifies_against_latest_signature_only(spark, tmp_path):
 
 
 def test_compact_stage_resets_keyspace_and_keeps_rows(spark, tmp_path):
-    """compact_stage rewrites an epoch-grown stage into one n_batches
-    keyspace with an identical row set, and the epoch service keeps
-    working afterwards (next epoch = range 1)."""
-    from pyspark.sql import functions as SF
-
+    """compact_sig_stage rewrites an epoch-grown stage into one
+    n_batches keyspace with an identical row set, GCs orphan
+    generations, records epoch_base atomically, and the epoch service
+    keeps working afterwards."""
     from easyner_spark.io.catalog import CheckpointCatalog
     from easyner_spark.streaming.ingest import epoch_dedup_pairs
 
@@ -281,14 +280,19 @@ def test_compact_stage_resets_keyspace_and_keeps_rows(spark, tmp_path):
         for r in cat.read_stage(spark, "minhash_sigs").collect()
     }
     assert max(cat.committed_batches("minhash_sigs")) >= nb  # grown
-    cat.compact_stage(
-        spark,
-        "minhash_sigs",
-        SF.pmod(SF.xxhash64("doc_id"), SF.lit(nb)),
-    )
+    # plant an orphan generation (a crashed past compaction) — the next
+    # compaction must GC it
+    orphan = os.path.join(wh, "minhash_sigs.gen7")
+    os.makedirs(orphan, exist_ok=True)
+    from easyner_spark.streaming.ingest import compact_sig_stage
+
+    compact_sig_stage(spark, wh, n_batches=nb)
+    assert not os.path.exists(orphan)
     after_batches = cat.committed_batches("minhash_sigs")
     assert after_batches and max(after_batches) < nb  # reset keyspace
     assert len(cat.history("minhash_sigs")) == 1      # manifest reset
+    # the wrapper recorded the epoch continuation point atomically
+    assert cat._load_manifest("minhash_sigs")["epoch_base"] == 1
     after = {
         (r["doc_id"], tuple(r["sig"]))
         for r in cat.read_stage(spark, "minhash_sigs").collect()
@@ -300,3 +304,60 @@ def test_compact_stage_resets_keyspace_and_keeps_rows(spark, tmp_path):
     ), n_batches=nb)
     new = cat.committed_batches("minhash_sigs") - after_batches
     assert new and all(nb <= b < 2 * nb for b in new)
+
+
+def test_epoch_dedup_handles_content_revert(spark, tmp_path):
+    """Review r4 pass 3: a doc whose content REVERTS to a previously
+    committed version must re-advance its epoch (anti-join is against
+    the LATEST version only) so pair verification tracks the current
+    content again."""
+    from easyner_spark.streaming.ingest import epoch_dedup_pairs
+
+    wh = str(tmp_path / "wh_revert")
+    mk = lambda rows: spark.createDataFrame(rows, "doc_id long, text string")
+    text_a = "the quick brown fox jumps over the lazy dog again and again"
+    text_b = "entirely different replacement content with no overlap at all"
+    epoch_dedup_pairs(spark, wh, mk([(1, text_a), (2, text_a)]))  # ep 0
+    epoch_dedup_pairs(spark, wh, mk([(1, text_b)]))               # ep 1
+    epoch_dedup_pairs(spark, wh, mk([(1, text_a)]))               # ep 2: revert
+    # doc 9 arrives with text A: doc 1's CURRENT content is A again,
+    # so BOTH (1,9) and (2,9) must verify
+    rows = epoch_dedup_pairs(spark, wh, mk([(9, text_a)])).collect()
+    pairs = {(r["doc_a"], r["doc_b"]) for r in rows}
+    assert (1, 9) in pairs and (2, 9) in pairs
+    assert len(rows) == len(pairs)  # no duplicate emissions
+
+
+def test_epoch_dedup_reads_legacy_warehouse_without_epoch_column(spark, tmp_path):
+    """A signature stage committed by the pre-epoch-column code (rows
+    are doc_id/sig/batch_id only) must keep working: epochs derive from
+    the batch id and commits stay in the legacy shape (no mixed parquet
+    schemas across partition dirs)."""
+    from easyner_spark.io.catalog import CheckpointCatalog
+    from easyner_spark.stages.canonical import minhash_signatures
+    from easyner_spark.streaming.ingest import _sig_batch_key, epoch_dedup_pairs
+
+    wh = str(tmp_path / "wh_legacy")
+    nb = 8
+    text_a = "the quick brown fox jumps over the lazy dog again and again"
+    docs = spark.createDataFrame(
+        [(1, text_a), (2, text_a)], "doc_id long, text string"
+    )
+    legacy = minhash_signatures(docs, id_col="doc_id", name_col="text").select(
+        "doc_id", "sig", _sig_batch_key(nb, 0).alias("batch_id")
+    )
+    cat = CheckpointCatalog(wh)
+    cat.write_stage(legacy, "minhash_sigs", resume_mode="skip_committed")
+
+    rows = epoch_dedup_pairs(
+        spark,
+        wh,
+        spark.createDataFrame([(9, text_a)], "doc_id long, text string"),
+        n_batches=nb,
+    ).collect()
+    pairs = {(r["doc_a"], r["doc_b"]) for r in rows}
+    assert pairs == {(1, 9), (2, 9)}
+    # the stage schema stayed legacy (no epoch column materialized)
+    sigs = cat.read_stage(spark, "minhash_sigs")
+    assert "epoch" not in sigs.columns
+    assert {r["doc_id"] for r in sigs.select("doc_id").collect()} == {1, 2, 9}
