@@ -299,6 +299,7 @@ class CheckpointCatalog:
         stage: str,
         partition_expr,
         manifest_extra: dict | None = None,
+        transform=None,
     ) -> dict:
         """Rewrite a stage into a fresh compact ``batch_id`` keyspace
         and reset its manifest to ONE snapshot — the Iceberg
@@ -319,7 +320,11 @@ class CheckpointCatalog:
         manifest inside the SAME atomic swap — writers use it to carry
         counters that must survive the keyspace reset (e.g. the epoch
         service's ``epoch_base``; streaming/ingest.py
-        compact_sig_stage).
+        compact_sig_stage). ``transform`` (optional ``df -> df``) is
+        applied to the rows before the rewrite — since compaction
+        rewrites EVERY partition at once, this is the one safe point to
+        evolve a stage's schema (e.g. materializing a derived version
+        column) without mixing parquet schemas across partition dirs.
 
         Crash safety — the manifest swap is the SINGLE commit point:
         the compacted data is fully written to a fresh generation
@@ -350,7 +355,10 @@ class CheckpointCatalog:
             ):
                 shutil.rmtree(os.path.join(self.root, entry), ignore_errors=True)
 
-        df = self.read_stage(spark, stage).drop("batch_id")
+        df = self.read_stage(spark, stage)
+        if transform is not None:
+            df = transform(df)
+        df = df.drop("batch_id")
         compacted = df.withColumn(
             "batch_id", partition_expr.cast("int")
         ).persist()

@@ -76,6 +76,41 @@ def _sig_batch_key(n_batches: int, range_seq: int):
     ).cast("int")
 
 
+def _pin_n_batches(cat, man: dict, sig_stage: str, n_batches: int) -> int:
+    """Stamp n_batches into the stage manifest on first use; reject a
+    mismatching later value (batch_range = max(batch)//n_batches is the
+    version counter's input — a silent mismatch would collide epoch
+    numbers and corrupt latest-version selection)."""
+    stored = man.get("sig_n_batches")
+    if stored is None:
+        man["sig_n_batches"] = n_batches
+        cat._store_manifest(sig_stage, man)
+        return n_batches
+    if int(stored) != n_batches:
+        raise ValueError(
+            f"stage '{sig_stage}' was built with n_batches={stored}; "
+            f"called with n_batches={n_batches} — epoch numbering would "
+            "corrupt. Pass the original value."
+        )
+    return int(stored)
+
+
+def _latest_per_doc(versioned: DataFrame, ids: DataFrame) -> DataFrame:
+    """ONE signature row per doc_id — the row with the highest epoch —
+    restricted to the given doc ids (semi-join first, so the window
+    input is O(ids × versions), never O(corpus)). The sig tiebreak is
+    defensive determinism only; committed epoch values never collide.
+    Single definition: the commit anti-join and pair verification MUST
+    agree on which version is 'latest'."""
+    w = Window.partitionBy("doc_id").orderBy(F.desc("epoch"), F.desc("sig"))
+    return (
+        versioned.join(ids, "doc_id", "left_semi")
+        .withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .select("doc_id", "sig")
+    )
+
+
 def epoch_dedup_pairs(
     spark: SparkSession,
     warehouse: str,
@@ -111,13 +146,16 @@ def epoch_dedup_pairs(
     climbing monotonically across compactions (the wrapper records an
     ``epoch_base`` in the manifest inside the same atomic swap), while
     only the batch-id RANGES restart. Re-ingested doc_ids are handled
-    explicitly: an anti-join on (doc_id, sig) drops
-    rows whose exact signature is already committed (re-crawl with
-    unchanged content — the same collapse the old union+dropDuplicates
-    produced), while changed content keeps both versions (both remain
-    legitimate near-dup cluster members). Callers feed the returned
-    pairs into connected components against previously-emitted pairs to
-    maintain clusters.
+    explicitly: a re-ingest matching the doc's LATEST committed version
+    collapses (anti-join against the latest signature only), while any
+    content change — including a REVERT to an older committed text —
+    commits a new row at the new epoch, so latest-version selection
+    always tracks current content. Consequence: after a revert the
+    stage can hold the same (doc_id, sig) at two epochs — (doc_id, sig)
+    is NOT unique; (doc_id, epoch) is. Pair verification compares each
+    candidate against its docs' latest signatures. Callers feed the
+    returned pairs into connected components against previously-emitted
+    pairs to maintain clusters.
 
     The returned frame is materialized (localCheckpoint) BEFORE the new
     signatures are committed, so the probe sees the pre-epoch corpus —
@@ -136,6 +174,12 @@ def epoch_dedup_pairs(
 
     cat = CheckpointCatalog(warehouse)
     done = cat.committed_batches(sig_stage)
+    man = cat._load_manifest(sig_stage)  # loaded ONCE per call
+    # n_batches became load-bearing for the version counter (epoch ==
+    # f(batch_range)), so it is stamped into the manifest on first use
+    # and a mismatching later call fails loudly instead of silently
+    # colliding epoch numbers
+    n_batches = _pin_n_batches(cat, man, sig_stage, n_batches)
     # the batch-id RANGE is derived from committed batches (append-only
     # invariant); it resets when a compaction flattens the keyspace,
     # while the `epoch` version counter keeps climbing
@@ -149,6 +193,8 @@ def epoch_dedup_pairs(
             # (batch ids were epoch-scoped then) and KEEP committing in
             # the legacy shape — mixing schemas across partition dirs
             # would make the parquet read schema footer-dependent.
+            # (compact_sig_stage MATERIALIZES the derived column while
+            # rewriting every partition, upgrading the stage.)
             legacy_schema = True
             corpus_full = corpus_full.withColumn(
                 "epoch", F.expr(f"batch_id div {n_batches}").cast("bigint")
@@ -159,10 +205,10 @@ def epoch_dedup_pairs(
         #     effective commit bumps both, from 0);
         #  3. compacted WITHOUT the wrapper (direct compact_stage):
         #     one max over the preserved epoch column.
-        man_base = cat._load_manifest(sig_stage).get("epoch_base")
+        man_base = man.get("epoch_base")
         if man_base is not None:
             epoch_seq = int(man_base) + batch_range
-        elif not cat._load_manifest(sig_stage).get("data_dir"):
+        elif not man.get("data_dir"):
             epoch_seq = batch_range
         else:
             epoch_seq = (
@@ -204,20 +250,11 @@ def epoch_dedup_pairs(
                 .unionByName(pairs.select(F.col("dst").alias("doc_id")))
                 .distinct()
             )
-            versioned = (
-                corpus_full.select("doc_id", "sig", "epoch")
-                .unionByName(new_sigs.select("doc_id", "sig", "epoch"))
-                .join(members, "doc_id", "left_semi")
-            )
-            # sig tiebreak: defensive determinism only (epoch values
-            # never collide across commits, compaction included)
-            w = Window.partitionBy("doc_id").orderBy(
-                F.desc("epoch"), F.desc("sig")
-            )
-            latest = (
-                versioned.withColumn("_rn", F.row_number().over(w))
-                .filter(F.col("_rn") == 1)
-                .select("doc_id", "sig")
+            latest = _latest_per_doc(
+                corpus_full.select("doc_id", "sig", "epoch").unionByName(
+                    new_sigs.select("doc_id", "sig", "epoch")
+                ),
+                members,
             )
             pairs = signature_similarity_filter(
                 pairs, latest, id_col="doc_id", min_agreement=min_agreement
@@ -232,16 +269,9 @@ def epoch_dedup_pairs(
         # semi-joined down to this epoch's doc ids — O(epoch), not
         # O(corpus). The write touches only the epoch's own batch range
         # (skip_committed — earlier partitions are immutable).
-        new_ids = new_sigs.select("doc_id").distinct()
-        wl = Window.partitionBy("doc_id").orderBy(
-            F.desc("epoch"), F.desc("sig")
-        )
-        latest_committed = (
-            corpus_full.select("doc_id", "sig", "epoch")
-            .join(new_ids, "doc_id", "left_semi")
-            .withColumn("_rn", F.row_number().over(wl))
-            .filter(F.col("_rn") == 1)
-            .select("doc_id", "sig")
+        latest_committed = _latest_per_doc(
+            corpus_full.select("doc_id", "sig", "epoch"),
+            new_sigs.select("doc_id").distinct(),
         )
         fresh = new_sigs.join(latest_committed, ["doc_id", "sig"], "left_anti")
         if legacy_schema:
@@ -279,6 +309,8 @@ def compact_sig_stage(
     if not done:
         raise ValueError(f"stage '{sig_stage}' has no committed batches")
     man = cat._load_manifest(sig_stage)
+    # honor the stage's pinned n_batches; reject a conflicting value
+    n_batches = _pin_n_batches(cat, man, sig_stage, n_batches)
     batch_range = max(done) // n_batches + 1
     if man.get("epoch_base") is not None:
         next_epoch = int(man["epoch_base"]) + batch_range
@@ -291,6 +323,18 @@ def compact_sig_stage(
                 "epoch", F.expr(f"batch_id div {n_batches}").cast("bigint")
             )
         next_epoch = int(cur.agg(F.max("epoch").alias("m")).first()["m"]) + 1
+
+    def _materialize_epoch(df: DataFrame) -> DataFrame:
+        # legacy stage (pre-epoch-column): the version lives in the
+        # batch id, which this compaction is about to flatten — bake
+        # the derived column in NOW (every partition is rewritten, so
+        # schema evolution is safe here and only here)
+        if "epoch" in df.columns:
+            return df
+        return df.withColumn(
+            "epoch", F.expr(f"batch_id div {n_batches}").cast("bigint")
+        )
+
     # post-compaction batch_range is 1 (all data in range 0), so the
     # invariant next_epoch == epoch_base + batch_range needs base =
     # next_epoch - 1
@@ -298,7 +342,11 @@ def compact_sig_stage(
         spark,
         sig_stage,
         _sig_batch_key(n_batches, 0),
-        manifest_extra={"epoch_base": next_epoch - 1},
+        manifest_extra={
+            "epoch_base": next_epoch - 1,
+            "sig_n_batches": n_batches,
+        },
+        transform=_materialize_epoch,
     )
 
 
@@ -383,12 +431,15 @@ def read_documents_epochs(spark: SparkSession, warehouse: str) -> DataFrame:
     # discovery, which cannot mix non-key=value epoch roots).
     # resolve each stage's CURRENT data directory through the catalog
     # (the manifest data_dir pointer — a compacted stage lives in a
-    # .genN generation dir, not the bare stage name)
-    paths = [
-        os.path.join(cat._stage_dir(n), f"batch_id={b}")
-        for n in names
-        for b in sorted(cat.committed_batches(n))
-    ]
+    # .genN generation dir, not the bare stage name). One manifest
+    # load per STAGE, hoisted out of the per-batch expansion.
+    paths = []
+    for n in names:
+        stage_dir = cat._stage_dir(n)
+        paths.extend(
+            os.path.join(stage_dir, f"batch_id={b}")
+            for b in sorted(cat.committed_batches(n))
+        )
     allrows = (
         spark.read.parquet(*paths)
         .withColumn(

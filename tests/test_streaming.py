@@ -361,3 +361,64 @@ def test_epoch_dedup_reads_legacy_warehouse_without_epoch_column(spark, tmp_path
     sigs = cat.read_stage(spark, "minhash_sigs")
     assert "epoch" not in sigs.columns
     assert {r["doc_id"] for r in sigs.select("doc_id").collect()} == {1, 2, 9}
+
+
+def test_legacy_stage_compaction_materializes_epochs(spark, tmp_path):
+    """Review r4 pass 4: compacting a LEGACY stage (version implicit in
+    the batch id) must bake the derived epoch column in during the
+    rewrite — otherwise flattening the keyspace collapses every
+    version to epoch 0 and latest-version selection degrades to the
+    sig tiebreak."""
+    from easyner_spark.io.catalog import CheckpointCatalog
+    from easyner_spark.stages.canonical import minhash_signatures
+    from easyner_spark.streaming.ingest import (
+        _sig_batch_key,
+        compact_sig_stage,
+        epoch_dedup_pairs,
+    )
+
+    wh = str(tmp_path / "wh_legacycompact")
+    nb = 8
+    text_a = "the quick brown fox jumps over the lazy dog again and again"
+    text_b = "entirely different replacement content with no overlap at all"
+    mk = lambda rows: spark.createDataFrame(rows, "doc_id long, text string")
+    cat = CheckpointCatalog(wh)
+    legacy = minhash_signatures(
+        mk([(1, text_a), (2, text_a)]), id_col="doc_id", name_col="text"
+    ).select("doc_id", "sig", _sig_batch_key(nb, 0).alias("batch_id"))
+    cat.write_stage(legacy, "minhash_sigs", resume_mode="skip_committed")
+    # legacy-shape second version for doc 1 (range 1)
+    epoch_dedup_pairs(spark, wh, mk([(1, text_b)]), n_batches=nb)
+    sigs = cat.read_stage(spark, "minhash_sigs")
+    assert "epoch" not in sigs.columns  # still legacy before compaction
+
+    compact_sig_stage(spark, wh, n_batches=nb)
+    sigs2 = cat.read_stage(spark, "minhash_sigs")
+    assert "epoch" in sigs2.columns  # upgraded during the rewrite
+    eps = {
+        (r["doc_id"], r["epoch"]) for r in sigs2.select("doc_id", "epoch").collect()
+    }
+    assert (1, 0) in eps and (1, 1) in eps and (2, 0) in eps
+
+    # and latest-version verification still works post-compaction:
+    # doc 1's current content is B, so only (2, 9) verifies
+    rows = epoch_dedup_pairs(spark, wh, mk([(9, text_a)]), n_batches=nb).collect()
+    assert {(r["doc_a"], r["doc_b"]) for r in rows} == {(2, 9)}
+
+
+def test_epoch_dedup_rejects_mismatched_n_batches(spark, tmp_path):
+    """n_batches is load-bearing for epoch numbering — a mismatching
+    later call must fail loudly, not silently collide epochs."""
+    import pytest as _pytest
+
+    from easyner_spark.streaming.ingest import compact_sig_stage, epoch_dedup_pairs
+
+    wh = str(tmp_path / "wh_nbpin")
+    mk = lambda rows: spark.createDataFrame(rows, "doc_id long, text string")
+    epoch_dedup_pairs(spark, wh, mk(
+        [(1, "alpha beta gamma delta epsilon zeta eta theta iota kappa")]
+    ), n_batches=8)
+    with _pytest.raises(ValueError, match="n_batches"):
+        epoch_dedup_pairs(spark, wh, mk([(2, "x y z")]), n_batches=64)
+    with _pytest.raises(ValueError, match="n_batches"):
+        compact_sig_stage(spark, wh, n_batches=64)
