@@ -14,6 +14,8 @@ both the streaming checkpoint AND the last committed partition.
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import DataFrame, SparkSession, Window, functions as F, types as T
 
 from ..io.catalog import CheckpointCatalog
@@ -76,23 +78,45 @@ def _sig_batch_key(n_batches: int, range_seq: int):
     ).cast("int")
 
 
-def _pin_n_batches(cat, man: dict, sig_stage: str, n_batches: int) -> int:
-    """Stamp n_batches into the stage manifest on first use; reject a
-    mismatching later value (batch_range = max(batch)//n_batches is the
-    version counter's input — a silent mismatch would collide epoch
-    numbers and corrupt latest-version selection)."""
-    stored = man.get("sig_n_batches")
-    if stored is None:
-        man["sig_n_batches"] = n_batches
-        cat._store_manifest(sig_stage, man)
-        return n_batches
-    if int(stored) != n_batches:
-        raise ValueError(
-            f"stage '{sig_stage}' was built with n_batches={stored}; "
-            f"called with n_batches={n_batches} — epoch numbering would "
-            "corrupt. Pass the original value."
-        )
-    return int(stored)
+def _pin_n_batches(cat, sig_stage: str, n_batches: int, stamp: bool) -> int:
+    """Validate (and with ``stamp=True`` record) the stage's n_batches
+    in a sidecar config file. batch_range = max(batch)//n_batches is
+    the version counter's input — a silent mismatch would collide epoch
+    numbers and corrupt latest-version selection, so a later call with
+    a different value fails loudly. The sidecar (not the manifest) is
+    the home because compact_stage rebuilds the manifest from scratch;
+    the config must survive any compaction untouched. Writers stamp
+    AFTER a successful commit (a crashed first run must not lock an
+    empty stage to a value)."""
+    import json as _json
+
+    path = os.path.join(cat.root, f"{sig_stage}._config.json")
+    if os.path.exists(path):
+        with open(path) as f:
+            stored = int(_json.load(f)["n_batches"])
+        if stored != n_batches:
+            raise ValueError(
+                f"stage '{sig_stage}' was built with n_batches={stored}; "
+                f"called with n_batches={n_batches} — epoch numbering "
+                "would corrupt. Pass the original value."
+            )
+        return stored
+    if stamp:
+        tmp = path + ".tmp"
+        with open(tmp, "w") as f:
+            _json.dump({"n_batches": n_batches}, f)
+        os.replace(tmp, path)
+    return n_batches
+
+
+def _with_derived_epoch(df: DataFrame, n_batches: int) -> DataFrame:
+    """Legacy-schema epoch derivation (ONE definition): pre-epoch-column
+    stages carried the version in their epoch-scoped batch id."""
+    if "epoch" in df.columns:
+        return df
+    return df.withColumn(
+        "epoch", F.expr(f"batch_id div {n_batches}").cast("bigint")
+    )
 
 
 def _latest_per_doc(versioned: DataFrame, ids: DataFrame) -> DataFrame:
@@ -176,10 +200,9 @@ def epoch_dedup_pairs(
     done = cat.committed_batches(sig_stage)
     man = cat._load_manifest(sig_stage)  # loaded ONCE per call
     # n_batches became load-bearing for the version counter (epoch ==
-    # f(batch_range)), so it is stamped into the manifest on first use
-    # and a mismatching later call fails loudly instead of silently
-    # colliding epoch numbers
-    n_batches = _pin_n_batches(cat, man, sig_stage, n_batches)
+    # f(batch_range)): validate against the pinned sidecar config; the
+    # stamp itself happens only after this call's successful commit
+    n_batches = _pin_n_batches(cat, sig_stage, n_batches, stamp=False)
     # the batch-id RANGE is derived from committed batches (append-only
     # invariant); it resets when a compaction flattens the keyspace,
     # while the `epoch` version counter keeps climbing
@@ -196,9 +219,7 @@ def epoch_dedup_pairs(
             # (compact_sig_stage MATERIALIZES the derived column while
             # rewriting every partition, upgrading the stage.)
             legacy_schema = True
-            corpus_full = corpus_full.withColumn(
-                "epoch", F.expr(f"batch_id div {n_batches}").cast("bigint")
-            )
+            corpus_full = _with_derived_epoch(corpus_full, n_batches)
         # next epoch number, cheapest source first:
         #  1. epoch_base recorded by compact_sig_stage (O(manifest));
         #  2. plain append-only history: epoch == batch range (each
@@ -287,6 +308,9 @@ def epoch_dedup_pairs(
             ).select("src", "dst")
         pairs = pairs.localCheckpoint()
         cat.write_stage(new_sigs, sig_stage, resume_mode="skip_committed")
+    # commit succeeded — pin the stage's n_batches now (not earlier: a
+    # crashed first run must not lock an empty stage to a value)
+    _pin_n_batches(cat, sig_stage, n_batches, stamp=True)
     return pairs.select(
         F.col("src").alias("doc_a"), F.col("dst").alias("doc_b")
     )
@@ -301,52 +325,46 @@ def compact_sig_stage(
     """Compact the epoch-grown signature stage into one n_batches
     keyspace, recording the epoch counter's continuation point
     (``epoch_base``) in the manifest INSIDE the same atomic swap — the
-    O(manifest) path for epoch_seq derivation after compaction (a
-    direct ``compact_stage`` call also works; epoch_dedup_pairs then
-    falls back to one max() over the preserved epoch column)."""
+    O(manifest) path for epoch_seq derivation after compaction. Legacy
+    stages (pre-epoch-column) are upgraded on the way through: the
+    derived epoch column is materialized while every partition is
+    being rewritten anyway (the one safe schema-evolution point).
+
+    Use THIS wrapper for the signature stage, not a direct
+    ``compact_stage`` call. A direct call works only for stages that
+    already carry the epoch column (epoch_dedup_pairs then falls back
+    to one max() over it); on a LEGACY stage it would flatten the
+    batch ids that encode the versions, irrecoverably collapsing every
+    historical version to epoch 0 (multi-version docs then resolve
+    'latest' by the arbitrary-but-deterministic sig tiebreak).
+    """
     cat = CheckpointCatalog(warehouse)
     done = cat.committed_batches(sig_stage)
     if not done:
         raise ValueError(f"stage '{sig_stage}' has no committed batches")
     man = cat._load_manifest(sig_stage)
     # honor the stage's pinned n_batches; reject a conflicting value
-    n_batches = _pin_n_batches(cat, man, sig_stage, n_batches)
+    # (stage has committed data by the guard above, so stamping is safe)
+    n_batches = _pin_n_batches(cat, sig_stage, n_batches, stamp=True)
     batch_range = max(done) // n_batches + 1
     if man.get("epoch_base") is not None:
         next_epoch = int(man["epoch_base"]) + batch_range
     elif not man.get("data_dir"):
         next_epoch = batch_range  # plain append-only history
     else:
-        cur = cat.read_stage(spark, sig_stage)
-        if "epoch" not in cur.columns:
-            cur = cur.withColumn(
-                "epoch", F.expr(f"batch_id div {n_batches}").cast("bigint")
-            )
+        cur = _with_derived_epoch(cat.read_stage(spark, sig_stage), n_batches)
         next_epoch = int(cur.agg(F.max("epoch").alias("m")).first()["m"]) + 1
-
-    def _materialize_epoch(df: DataFrame) -> DataFrame:
-        # legacy stage (pre-epoch-column): the version lives in the
-        # batch id, which this compaction is about to flatten — bake
-        # the derived column in NOW (every partition is rewritten, so
-        # schema evolution is safe here and only here)
-        if "epoch" in df.columns:
-            return df
-        return df.withColumn(
-            "epoch", F.expr(f"batch_id div {n_batches}").cast("bigint")
-        )
 
     # post-compaction batch_range is 1 (all data in range 0), so the
     # invariant next_epoch == epoch_base + batch_range needs base =
-    # next_epoch - 1
+    # next_epoch - 1. The transform bakes the derived epoch column into
+    # legacy stages during the rewrite.
     return cat.compact_stage(
         spark,
         sig_stage,
         _sig_batch_key(n_batches, 0),
-        manifest_extra={
-            "epoch_base": next_epoch - 1,
-            "sig_n_batches": n_batches,
-        },
-        transform=_materialize_epoch,
+        manifest_extra={"epoch_base": next_epoch - 1},
+        transform=lambda df: _with_derived_epoch(df, n_batches),
     )
 
 

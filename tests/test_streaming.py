@@ -422,3 +422,21 @@ def test_epoch_dedup_rejects_mismatched_n_batches(spark, tmp_path):
         epoch_dedup_pairs(spark, wh, mk([(2, "x y z")]), n_batches=64)
     with _pytest.raises(ValueError, match="n_batches"):
         compact_sig_stage(spark, wh, n_batches=64)
+
+
+def test_pin_n_batches_stamps_only_on_request(tmp_path):
+    """A validate-only call (crashed first ingest) must not lock the
+    stage; a stamped value must validate and reject mismatches."""
+    from easyner_spark.io.catalog import CheckpointCatalog
+    from easyner_spark.streaming.ingest import _pin_n_batches
+
+    cat = CheckpointCatalog(str(tmp_path / "wh_pin"))
+    assert _pin_n_batches(cat, "s", 64, stamp=False) == 64
+    # nothing locked: a different value is still accepted
+    assert _pin_n_batches(cat, "s", 256, stamp=False) == 256
+    assert _pin_n_batches(cat, "s", 8, stamp=True) == 8
+    assert _pin_n_batches(cat, "s", 8, stamp=False) == 8
+    with pytest.raises(ValueError, match="n_batches"):
+        _pin_n_batches(cat, "s", 64, stamp=False)
+    with pytest.raises(ValueError, match="n_batches"):
+        _pin_n_batches(cat, "s", 64, stamp=True)
