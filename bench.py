@@ -129,6 +129,7 @@ def run_bench(sf_dir: str, cpus: str, n_corpus_docs: int | None = None) -> dict:
         "kg_graph_pagerank_weighted",
         "doc_sentence_dup_ratio",
         "web_url_features",
+        "multimodal_frame_sample",
     ]
     for name in headline:
         # min of two runs: this VM shows sporadic multi-second scheduler

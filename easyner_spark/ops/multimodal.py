@@ -131,7 +131,10 @@ def sample_frames(
     a real build swaps the slicer for pyav keyframe decode; the Spark
     shape, schema and partitioning stay identical).
 
-    Pure JVM explode: (payload_id, frame_idx, frame_bytes).
+    Pure JVM explode: (payload_id, frame_idx, frame_bytes). Offsets use
+    INTEGER division ((idx * (len - size)) div stride) — exact and
+    engine-invariant, per the repo float rules; a float quotient cast
+    to int could round differently across engines at the boundary.
     """
     idx = F.explode(F.sequence(F.lit(0), F.lit(n_frames - 1))).alias("frame_idx")
     exploded = df.select(id_col, binary_col, idx)
@@ -140,8 +143,8 @@ def sample_frames(
         id_col,
         "frame_idx",
         F.expr(
-            f"substring({binary_col}, cast(frame_idx *"
-            f" greatest((octet_length({binary_col}) - {frame_size}) / {stride}, 0)"
-            f" as int) + 1, {frame_size})"
+            f"substring({binary_col}, cast((frame_idx *"
+            f" greatest(octet_length({binary_col}) - {frame_size}, 0))"
+            f" div {stride} as int) + 1, {frame_size})"
         ).alias("frame_bytes"),
     )

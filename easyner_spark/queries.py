@@ -4891,6 +4891,53 @@ def q_web_url_features(spark, sf_dir):
     )
 
 
+FRAME_N = 4
+FRAME_W = 32
+
+
+@register(
+    "multimodal_frame_sample",
+    f"""
+WITH frames AS (
+  SELECT d.doc_id, s.frame_idx,
+         substring(d.text,
+                   CAST((s.frame_idx * greatest(length(d.text) - {FRAME_W}, 0))
+                        // {FRAME_N - 1} AS BIGINT) + 1,
+                   {FRAME_W}) AS fb
+  FROM documents d, (SELECT unnest(range({FRAME_N})) AS frame_idx) s
+)
+SELECT doc_id, CAST(frame_idx AS BIGINT) AS frame_idx,
+       CAST(length(fb) AS BIGINT) AS frame_len,
+       md5(fb) AS frame_md5
+FROM frames
+""",
+)
+def q_multimodal_frame_sample(spark, sf_dir):
+    """Deterministic frame sampling over opaque payloads — the
+    codec-free video plumbing contract: n evenly-spaced windows per
+    payload via ops/multimodal.py:sample_frames (pure JVM explode +
+    integer-div offsets; a real build swaps the byte slicer for pyav
+    keyframe decode with the identical Spark shape). The payload here
+    is the document text encoded as binary; the oracle slices the same
+    (pure-ASCII) characters, so frame hashes agree byte-for-byte.
+    Narrow map plan, no shuffle."""
+    from .ops.multimodal import sample_frames
+
+    d = _read(spark, sf_dir, "documents").select(
+        F.col("doc_id").alias("payload_id"),
+        F.encode(F.col("text"), "utf-8").alias("payload"),
+    )
+    frames = sample_frames(
+        d, n_frames=FRAME_N, frame_size=FRAME_W
+    )
+    return frames.select(
+        F.col("payload_id").alias("doc_id"),
+        F.col("frame_idx").cast("bigint").alias("frame_idx"),
+        F.octet_length("frame_bytes").cast("bigint").alias("frame_len"),
+        F.md5("frame_bytes").alias("frame_md5"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # driver-gate ordering
 # ---------------------------------------------------------------------------
@@ -4950,17 +4997,18 @@ _DRIVER_PRIORITY = [
     "kg_graph_pagerank_weighted",
     "doc_sentence_dup_ratio",
     "web_url_features",
+    "multimodal_frame_sample",
     # --- veteran anchors (driver-green in r1-r3; keep the flagship
     #     KG chain + dedup/eval spine under the gate; kg_mentions /
-    #     kg_linked / kg_sentences rotate out after three green
-    #     rounds — still covered by the local 93-query sweep) ---
+    #     kg_linked / kg_sentences / merge_conflicts_resolved rotate
+    #     out after three green rounds — still covered by the local
+    #     94-query sweep) ---
     "kg_triple_counts",
     "kg_entity_frequency",
     "kg_id_frequency",
     "dedup_minhash_pairs",
     "dedup_components",
     "eval_band_pr",
-    "merge_conflicts_resolved",
 ]
 
 
