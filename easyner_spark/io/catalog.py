@@ -389,6 +389,27 @@ class CheckpointCatalog:
         shutil.rmtree(old_dir, ignore_errors=True)  # GC, post-commit
         return snap
 
+    # ------------------------------------------------------------------
+    def _config_path(self, stage: str) -> str:
+        return os.path.join(self.root, f"{stage}._config.json")
+
+    def load_config(self, stage: str) -> dict:
+        """Writer-owned per-stage config sidecar (e.g. the epoch
+        service's pinned n_batches). Deliberately SEPARATE from the
+        manifest: compact_stage rebuilds the manifest from scratch,
+        while the config must survive any compaction untouched."""
+        p = self._config_path(stage)
+        if not os.path.exists(p):
+            return {}
+        with open(p) as f:
+            return json.load(f)
+
+    def store_config(self, stage: str, cfg: dict) -> None:
+        tmp = self._config_path(stage) + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump(cfg, f)
+        os.replace(tmp, self._config_path(stage))
+
     def counters(self, stage: str) -> dict[int, dict]:
         out: dict[int, dict] = {}
         for snap in self._load_manifest(stage)["snapshots"]:

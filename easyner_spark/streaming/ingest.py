@@ -78,35 +78,38 @@ def _sig_batch_key(n_batches: int, range_seq: int):
     ).cast("int")
 
 
-def _pin_n_batches(cat, sig_stage: str, n_batches: int, stamp: bool) -> int:
-    """Validate (and with ``stamp=True`` record) the stage's n_batches
-    in a sidecar config file. batch_range = max(batch)//n_batches is
-    the version counter's input — a silent mismatch would collide epoch
-    numbers and corrupt latest-version selection, so a later call with
-    a different value fails loudly. The sidecar (not the manifest) is
-    the home because compact_stage rebuilds the manifest from scratch;
-    the config must survive any compaction untouched. Writers stamp
-    AFTER a successful commit (a crashed first run must not lock an
-    empty stage to a value)."""
-    import json as _json
+def _pin_n_batches(cat, sig_stage: str, n_batches: int, has_data: bool) -> int:
+    """Resolve, validate and pin the stage's n_batches.
 
-    path = os.path.join(cat.root, f"{sig_stage}._config.json")
-    if os.path.exists(path):
-        with open(path) as f:
-            stored = int(_json.load(f)["n_batches"])
-        if stored != n_batches:
+    batch_range = max(batch)//n_batches is the version counter's input
+    — a silent mismatch would collide epoch numbers and corrupt
+    latest-version selection, so the value is pinned in the catalog's
+    per-stage config sidecar (which, unlike the manifest, survives
+    compaction) and a later call with a different value fails loudly.
+    A transitional fallback honors the ``sig_n_batches`` manifest key
+    an earlier code version wrote, migrating it into the sidecar.
+
+    The pin is written BEFORE the first commit (committed data without
+    a pin would mean silently trusting the next caller); a mismatching
+    call against a stage with NO committed data simply re-pins — a
+    crashed first run never locks an empty stage."""
+    in_sidecar = cat.load_config(sig_stage).get("n_batches")
+    stored = in_sidecar
+    if stored is None:
+        # transitional: earlier code pinned in the manifest
+        stored = cat._load_manifest(sig_stage).get("sig_n_batches")
+    if stored is not None and int(stored) != n_batches:
+        if has_data:
             raise ValueError(
                 f"stage '{sig_stage}' was built with n_batches={stored}; "
                 f"called with n_batches={n_batches} — epoch numbering "
                 "would corrupt. Pass the original value."
             )
-        return stored
-    if stamp:
-        tmp = path + ".tmp"
-        with open(tmp, "w") as f:
-            _json.dump({"n_batches": n_batches}, f)
-        os.replace(tmp, path)
-    return n_batches
+        stored = None  # empty stage: nothing at risk, re-pin below
+    final = n_batches if stored is None else int(stored)
+    if in_sidecar is None or int(in_sidecar) != final:
+        cat.store_config(sig_stage, {"n_batches": final})  # pin/migrate
+    return final
 
 
 def _with_derived_epoch(df: DataFrame, n_batches: int) -> DataFrame:
@@ -200,9 +203,8 @@ def epoch_dedup_pairs(
     done = cat.committed_batches(sig_stage)
     man = cat._load_manifest(sig_stage)  # loaded ONCE per call
     # n_batches became load-bearing for the version counter (epoch ==
-    # f(batch_range)): validate against the pinned sidecar config; the
-    # stamp itself happens only after this call's successful commit
-    n_batches = _pin_n_batches(cat, sig_stage, n_batches, stamp=False)
+    # f(batch_range)): resolve/validate/pin against the sidecar config
+    n_batches = _pin_n_batches(cat, sig_stage, n_batches, has_data=bool(done))
     # the batch-id RANGE is derived from committed batches (append-only
     # invariant); it resets when a compaction flattens the keyspace,
     # while the `epoch` version counter keeps climbing
@@ -308,9 +310,6 @@ def epoch_dedup_pairs(
             ).select("src", "dst")
         pairs = pairs.localCheckpoint()
         cat.write_stage(new_sigs, sig_stage, resume_mode="skip_committed")
-    # commit succeeded — pin the stage's n_batches now (not earlier: a
-    # crashed first run must not lock an empty stage to a value)
-    _pin_n_batches(cat, sig_stage, n_batches, stamp=True)
     return pairs.select(
         F.col("src").alias("doc_a"), F.col("dst").alias("doc_b")
     )
@@ -344,8 +343,8 @@ def compact_sig_stage(
         raise ValueError(f"stage '{sig_stage}' has no committed batches")
     man = cat._load_manifest(sig_stage)
     # honor the stage's pinned n_batches; reject a conflicting value
-    # (stage has committed data by the guard above, so stamping is safe)
-    n_batches = _pin_n_batches(cat, sig_stage, n_batches, stamp=True)
+    # (the stage has committed data by the guard above)
+    n_batches = _pin_n_batches(cat, sig_stage, n_batches, has_data=True)
     batch_range = max(done) // n_batches + 1
     if man.get("epoch_base") is not None:
         next_epoch = int(man["epoch_base"]) + batch_range

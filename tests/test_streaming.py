@@ -424,19 +424,27 @@ def test_epoch_dedup_rejects_mismatched_n_batches(spark, tmp_path):
         compact_sig_stage(spark, wh, n_batches=64)
 
 
-def test_pin_n_batches_stamps_only_on_request(tmp_path):
-    """A validate-only call (crashed first ingest) must not lock the
-    stage; a stamped value must validate and reject mismatches."""
+def test_pin_n_batches_semantics(tmp_path):
+    """Pin is written before the first commit; an empty stage can
+    re-pin (a crashed first run never locks it); a stage WITH data
+    rejects mismatches; a legacy manifest key migrates to the sidecar
+    and survives compaction's manifest rebuild."""
     from easyner_spark.io.catalog import CheckpointCatalog
     from easyner_spark.streaming.ingest import _pin_n_batches
 
     cat = CheckpointCatalog(str(tmp_path / "wh_pin"))
-    assert _pin_n_batches(cat, "s", 64, stamp=False) == 64
-    # nothing locked: a different value is still accepted
-    assert _pin_n_batches(cat, "s", 256, stamp=False) == 256
-    assert _pin_n_batches(cat, "s", 8, stamp=True) == 8
-    assert _pin_n_batches(cat, "s", 8, stamp=False) == 8
+    assert _pin_n_batches(cat, "s", 64, has_data=False) == 64
+    # empty stage: a different value re-pins instead of raising
+    assert _pin_n_batches(cat, "s", 256, has_data=False) == 256
+    # with data: pinned value wins, mismatch raises
+    assert _pin_n_batches(cat, "s", 256, has_data=True) == 256
     with pytest.raises(ValueError, match="n_batches"):
-        _pin_n_batches(cat, "s", 64, stamp=False)
+        _pin_n_batches(cat, "s", 64, has_data=True)
+
+    # transitional: pin recorded by the earlier code in the MANIFEST
+    cat._store_manifest("t", {"stage": "t", "snapshots": [], "sig_n_batches": 32})
+    assert _pin_n_batches(cat, "t", 32, has_data=True) == 32
+    # ...is migrated into the sidecar (which compaction cannot drop)
+    assert cat.load_config("t")["n_batches"] == 32
     with pytest.raises(ValueError, match="n_batches"):
-        _pin_n_batches(cat, "s", 64, stamp=True)
+        _pin_n_batches(cat, "t", 64, has_data=True)
