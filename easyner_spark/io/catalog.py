@@ -405,9 +405,13 @@ class CheckpointCatalog:
             return json.load(f)
 
     def store_config(self, stage: str, cfg: dict) -> None:
+        """Merge-write: keys not in ``cfg`` survive — a writer pinning
+        one key (e.g. n_batches) must not clobber keys another writer
+        added to the same sidecar (ADVICE r4)."""
+        merged = {**self.load_config(stage), **cfg}
         tmp = self._config_path(stage) + ".tmp"
         with open(tmp, "w") as f:
-            json.dump(cfg, f)
+            json.dump(merged, f)
         os.replace(tmp, self._config_path(stage))
 
     def counters(self, stage: str) -> dict[int, dict]:

@@ -124,10 +124,15 @@ def asof_join(
             for f in left.schema.fields
             if not _has_map(f.dataType)
         ]
+        # getField, not the string path f"__l.{c}": a left column name
+        # containing a dot/backtick would misresolve at plan time in the
+        # dotted-path form while working fine unsalted (ADVICE r4)
         l2 = l2.withColumn(
             "__salt",
             F.pmod(
-                F.xxhash64("__ts", *[F.col(f"__l.{c}") for c in hashable]),
+                F.xxhash64(
+                    "__ts", *[F.col("__l").getField(c) for c in hashable]
+                ),
                 F.lit(salt),
             ),
         )

@@ -109,7 +109,10 @@ def pagerank(
         outdeg = e.groupBy("src").agg(
             F.sum("w").cast("bigint").alias("wsum")
         )
-        contrib = "CAST((rank * w) div wsum AS DECIMAL(38,0))"
+        # cast BEFORE multiplying: a hub's rank (~n_nodes × scale) times
+        # a large bigint edge weight can exceed int64; the DECIMAL(38,0)
+        # product is exact and overflow-free (ADVICE r4)
+        contrib = "CAST(CAST(rank AS DECIMAL(38,0)) * w div wsum AS DECIMAL(38,0))"
     eo = e.join(outdeg, "src").localCheckpoint()
     nodes = (
         e.select(F.col("src").alias("node"))

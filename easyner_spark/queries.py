@@ -2505,22 +2505,23 @@ dims AS (
   FROM v GROUP BY label, pos
 ),
 counts AS (SELECT label, CAST(count(*) AS BIGINT) AS n FROM embeddings GROUP BY label)
-SELECT d.label, c.n, list(d.a ORDER BY d.pos) AS centroid
+SELECT d.label, c.n, CAST(d.pos AS INT) AS pos, d.a AS value
 FROM dims d JOIN counts c ON c.label = d.label
-GROUP BY d.label, c.n
 """,
 )
 def q_embed_label_centroids(spark, sf_dir):
     """Per-label mean embedding (the nearest-class-centroid classifier
     building block): explode to (label, pos, val), average per
-    dimension (map-side partials; the shuffle is |labels|·dim rows),
-    reassemble the centroid array in dimension order. Cross-engine
-    float rule: each value is quantized to an integer with pure IEEE
-    ops (×1e9, +0.5, floor — bit-identical in every engine), summed
-    exactly as BIGINT, divided once — order- and engine-invariant at
-    any SF. (A double AVG flipped a 1e-6 rounding boundary at sf0.1,
-    and double→DECIMAL casts differ between engines at the 17th
-    digit.)"""
+    dimension (map-side partials; the shuffle is |labels|·dim rows).
+    Output shape is one SCALAR row per (label, pos) — contract outputs
+    must be scalar columns only (the driver's canonicalizer cannot
+    sort/hash array cells; an earlier array<double> centroid column was
+    the one red row of round 4). Cross-engine float rule: each value is
+    quantized to an integer with pure IEEE ops (×1e9, +0.5, floor —
+    bit-identical in every engine), summed exactly as BIGINT, divided
+    once — order- and engine-invariant at any SF. (A double AVG flipped
+    a 1e-6 rounding boundary at sf0.1, and double→DECIMAL casts differ
+    between engines at the 17th digit.)"""
     e = _read(spark, sf_dir, "embeddings")
     v = e.select("label", F.posexplode("embedding").alias("pos", "val"))
     dims = v.groupBy("label", "pos").agg(
@@ -2531,15 +2532,12 @@ def q_embed_label_centroids(spark, sf_dir):
                 ).cast("bigint")
             ).cast("double")
             / (F.count("*").cast("double") * F.lit(1e9))
-        ).alias("a")
+        ).alias("value")
     )
     counts = e.groupBy("label").agg(F.count("*").alias("n"))
-    cent = dims.groupBy("label").agg(
-        F.transform(
-            F.array_sort(F.collect_list(F.struct("pos", "a"))), lambda s: s["a"]
-        ).alias("centroid")
+    return counts.join(dims, "label").select(
+        "label", "n", F.col("pos").cast("int").alias("pos"), "value"
     )
-    return counts.join(cent, "label").select("label", "n", "centroid")
 
 
 @register(
@@ -4938,6 +4936,113 @@ def q_multimodal_frame_sample(spark, sf_dir):
     )
 
 
+def _epoch_band_sql() -> str:
+    n_bands = 4
+    rows = MINHASH_SEEDS // n_bands
+    return " OR ".join(
+        "("
+        + " AND ".join(
+            f"a.h{b * rows + r} = b.h{b * rows + r}" for r in range(rows)
+        )
+        + ")"
+        for b in range(n_bands)
+    )
+
+
+@register(
+    "dedup_epoch_incremental",
+    _SHINGLES_CTE
+    + f""",
+sigs AS (
+  SELECT doc_id, {_minhash_sig_exprs_sql()}
+  FROM shingles GROUP BY doc_id
+),
+cand AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         {" + ".join(f"CAST(a.h{s} = b.h{s} AS INT)" for s in range(MINHASH_SEEDS))} AS agree
+  FROM sigs a JOIN sigs b ON a.doc_id < b.doc_id
+  WHERE (a.doc_id % 2 = 1 OR b.doc_id % 2 = 1)
+    AND ({_epoch_band_sql()})
+)
+SELECT DISTINCT doc_a, doc_b FROM cand WHERE agree * 2 >= {MINHASH_SEEDS}
+""",
+)
+def q_dedup_epoch_incremental(spark, sf_dir):
+    """Oracle gate for the EPOCH-INCREMENTAL dedup service — the join
+    shape that keeps web-scale near-dup detection O(epoch), not
+    O(corpus²) per ingest (streaming/ingest.py:epoch_dedup_pairs,
+    stages/canonical.py:incremental_lsh_candidates).
+
+    Two-epoch fixture from the documents table: epoch A (even doc_id)
+    is signatured and COMMITTED through the real signature-stage
+    catalog (temp warehouse, epoch-scoped batch ranges, manifest swap);
+    epoch B (odd doc_id) then probes the committed corpus through the
+    production code path — banding, hot-bucket salting, latest-version
+    selection, agreement verification, commit anti-join all exercised.
+    The returned pairs are epoch B's increment: new×new plus
+    new×corpus, never corpus×corpus (those were emitted when epoch A
+    arrived — the discarded first call).
+
+    The oracle is the FULL self-join the incremental path must equal
+    when filtered to pairs touching the new epoch: all band-collision
+    pairs with ≥1 odd member, verified at the same agreement threshold.
+    Cross-engine trick: the signature family is injected via
+    ``sig_fn`` — md5-string minhashes (bit-identical in DuckDB) instead
+    of production xxhash64; band equality on xxhash64(slice) in the
+    engine ⟺ slice equality in SQL. max_bucket is set high so salting
+    is the identity at contract scale (salt pins pair SETS regardless —
+    skew_bench measures the hot-bucket path)."""
+    import shutil
+    import tempfile
+
+    from .streaming.ingest import epoch_dedup_pairs
+
+    docs = _read(spark, sf_dir, "documents").select("doc_id", "text")
+
+    def sig_fn(epoch_docs: DataFrame) -> DataFrame:
+        t = (
+            epoch_docs.select(
+                "doc_id", F.posexplode(F.split("text", " ")).alias("pos", "token")
+            )
+            .filter(F.col("token") != "")
+        )
+        sh = _shingles_from_tokens(t)
+        sigs = sh.groupBy("doc_id").agg(
+            *[
+                F.min(
+                    F.md5(
+                        F.concat(F.lit(f"{s}|"), F.col("shingle")).cast("binary")
+                    )
+                ).alias(f"h{s}")
+                for s in range(MINHASH_SEEDS)
+            ]
+        )
+        return sigs.select(
+            "doc_id",
+            F.array(*[F.col(f"h{s}") for s in range(MINHASH_SEEDS)]).alias("sig"),
+        )
+
+    wh = tempfile.mkdtemp(prefix="dedup_epoch_wh_")
+    try:
+        common = dict(
+            max_bucket=1_000_000_000, n_batches=4, min_agreement=0.5, sig_fn=sig_fn
+        )
+        # epoch A: signature + commit; its (even×even) pairs were this
+        # epoch's increment and are deliberately not part of the output
+        epoch_dedup_pairs(
+            spark, wh, docs.filter(F.col("doc_id") % 2 == 0), **common
+        )
+        # epoch B: probe the committed corpus — the incremental result
+        pairs = epoch_dedup_pairs(
+            spark, wh, docs.filter(F.col("doc_id") % 2 == 1), **common
+        )
+        # epoch_dedup_pairs localCheckpoints (eager) before returning,
+        # so the warehouse files are no longer inputs of this frame
+        return pairs.select("doc_a", "doc_b")
+    finally:
+        shutil.rmtree(wh, ignore_errors=True)
+
+
 # ---------------------------------------------------------------------------
 # driver-gate ordering
 # ---------------------------------------------------------------------------
@@ -4945,76 +5050,145 @@ def q_multimodal_frame_sample(spark, sf_dir):
 # DuckDB oracles (list(QUERIES)[:50], insertion order). Rounds 1-3
 # always presented the same first 50, so the 36 entries registered
 # later never received a driver correctness row (round-3 verdict #1).
-# The local sweep (tests/test_queries_oracle.py) covers all entries
-# cell-exact regardless of order; this block only chooses WHICH 50 the
-# driver anchors: the never-driver-checked families first, then the
-# most load-bearing veterans (already green in rounds 1-3) to fill the
-# window. Everything else keeps registration order behind them.
+# Since round 4 the window ROTATES: _DRIVER_WINDOWS records each
+# round's 50 (history kept so the union invariant is testable — every
+# registered query must have a driver row no older than two rounds,
+# i.e. appear in the current or previous window; enforced by
+# tests/test_queries_oracle.py::test_driver_window_union_invariant).
+# The local sweep covers all entries cell-exact regardless of order;
+# this block only chooses WHICH 50 the driver anchors each round.
 
-_DRIVER_PRIORITY = [
-    # --- never driver-checked before round 4 (36) ---
-    "corpus_source_stats",
-    "embed_label_centroids",
-    "kg_graph_nodes",
-    "kg_graph_edges",
-    "kg_graph_pagerank",
-    "kg_graph_triangles",
-    "kg_graph_two_hop",
-    "merge_runs_union",
-    "train_sample_hash",
-    "train_stratified_quality",
-    "token_budget_shards",
-    "dedup_exact_keep_best",
-    "web_url_canonical",
-    "web_domain_stats",
-    "web_boilerplate_ngrams",
-    "web_boilerplate_ratio",
-    "tpch_small_quantity_revenue",
-    "events_asof_purchase",
-    "events_interval_overlap",
-    "doc_length_deciles",
-    "events_rollup_cascade",
-    "kg_sql_surface",
-    "doc_rarity_idf",
-    "events_funnel",
-    "events_retention_hourly",
-    "text_bigram_lm",
-    "search_bm25_lite",
-    "index_postings_rare",
-    "kg_graph_node_jaccard",
-    "corpus_contamination",
-    "profile_orders_columns",
-    "tpch_priority_late_ship",
-    "train_corpus_curated",
-    "tpch_cust_order_distribution",
-    "kg_entity_trend",
-    "dedup_minhash_verified",
-    # --- new in round 4 (never had a driver row yet) ---
-    "kg_graph_degree_dist",
-    "train_mixture_tokens",
-    "dedup_containment",
-    "doc_lm_score",
-    "kg_graph_pagerank_weighted",
-    "doc_sentence_dup_ratio",
-    "web_url_features",
-    "multimodal_frame_sample",
-    # --- veteran anchors (driver-green in r1-r3; keep the flagship
-    #     KG chain + dedup/eval spine under the gate; kg_mentions /
-    #     kg_linked / kg_sentences / merge_conflicts_resolved rotate
-    #     out after three green rounds — still covered by the local
-    #     94-query sweep) ---
-    "kg_triple_counts",
-    "kg_entity_frequency",
-    "kg_id_frequency",
-    "dedup_minhash_pairs",
-    "dedup_components",
-    "eval_band_pr",
-]
+_DRIVER_WINDOWS: dict[int, list[str]] = {
+    4: [
+        # never driver-checked before round 4 (36)
+        "corpus_source_stats",
+        "embed_label_centroids",
+        "kg_graph_nodes",
+        "kg_graph_edges",
+        "kg_graph_pagerank",
+        "kg_graph_triangles",
+        "kg_graph_two_hop",
+        "merge_runs_union",
+        "train_sample_hash",
+        "train_stratified_quality",
+        "token_budget_shards",
+        "dedup_exact_keep_best",
+        "web_url_canonical",
+        "web_domain_stats",
+        "web_boilerplate_ngrams",
+        "web_boilerplate_ratio",
+        "tpch_small_quantity_revenue",
+        "events_asof_purchase",
+        "events_interval_overlap",
+        "doc_length_deciles",
+        "events_rollup_cascade",
+        "kg_sql_surface",
+        "doc_rarity_idf",
+        "events_funnel",
+        "events_retention_hourly",
+        "text_bigram_lm",
+        "search_bm25_lite",
+        "index_postings_rare",
+        "kg_graph_node_jaccard",
+        "corpus_contamination",
+        "profile_orders_columns",
+        "tpch_priority_late_ship",
+        "train_corpus_curated",
+        "tpch_cust_order_distribution",
+        "kg_entity_trend",
+        "dedup_minhash_verified",
+        # new in round 4
+        "kg_graph_degree_dist",
+        "train_mixture_tokens",
+        "dedup_containment",
+        "doc_lm_score",
+        "kg_graph_pagerank_weighted",
+        "doc_sentence_dup_ratio",
+        "web_url_features",
+        "multimodal_frame_sample",
+        # veteran anchors
+        "kg_triple_counts",
+        "kg_entity_frequency",
+        "kg_id_frequency",
+        "dedup_minhash_pairs",
+        "dedup_components",
+        "eval_band_pr",
+    ],
+    5: [
+        # red in round 4 (array-output reshape) — re-gate first
+        "embed_label_centroids",
+        # new in round 5 (never had a driver row)
+        "dedup_epoch_incremental",
+        # rotated out of the r4 window (driver-green r1-r3; their most
+        # recent row is two rounds old — the union invariant requires
+        # them back under the gate this round): the full KG chain ...
+        "kg_tokens",
+        "kg_sentences",
+        "kg_mentions",
+        "kg_linked",
+        "kg_new_entities",
+        "kg_triples",
+        "kg_entity_search",
+        "kg_doc_term_freq",
+        "kg_batch_counters",
+        "kg_cooccur_pmi",
+        # ... the TPC-H relational spine ...
+        "tpch_pricing_summary",
+        "tpch_revenue_by_nation",
+        "tpch_profit_by_nation_year",
+        "tpch_semi_join_customers",
+        "tpch_anti_join_customers",
+        "tpch_topk_orders_per_segment",
+        "tpch_running_total",
+        "tpch_rollup_revenue",
+        # ... events/sessionization ...
+        "events_latest_per_user",
+        "events_sessionize",
+        "events_tumbling_hourly",
+        "events_error_band_join",
+        "events_type_pivot",
+        "events_props_json",
+        # ... dedup + text-quality families ...
+        "dedup_exact",
+        "dedup_jaccard",
+        "dedup_simhash",
+        "dedup_embedding_cosine",
+        "doc_quality_scores",
+        "lang_id_stopword",
+        "doc_fingerprint",
+        "doc_repetition",
+        "token_count_estimate",
+        # ... embeddings/ANN ...
+        "embed_knn_bruteforce",
+        "embed_ivf_knn",
+        "embed_lsh_buckets",
+        "embed_lsh_knn",
+        # ... NER-UDF / merge / sinks / multimodal ...
+        "multimodal_blob_meta",
+        "ner_udf_surface_counts",
+        "ner_udf_ngram_mentions",
+        "split_udf_passthrough",
+        "merge_conflicts_resolved",
+        "postprocess_sep_merge",
+        "pubtator_rebase",
+        # veteran anchors (flagship KG + dedup/eval spine, green r4)
+        "kg_triple_counts",
+        "kg_entity_frequency",
+        "dedup_minhash_pairs",
+        "eval_band_pr",
+    ],
+}
+
+_DRIVER_ROUND = max(_DRIVER_WINDOWS)
+_DRIVER_PRIORITY = _DRIVER_WINDOWS[_DRIVER_ROUND]
 
 
 def _apply_driver_order() -> None:
     missing = [n for n in _DRIVER_PRIORITY if n not in QUERIES]
-    assert not missing, f"_DRIVER_PRIORITY names unknown queries: {missing}"
+    if missing:
+        # not assert: stripped under python -O, and a typo'd name must
+        # fail loudly, not silently shrink the driver window (ADVICE r4)
+        raise ValueError(f"_DRIVER_PRIORITY names unknown queries: {missing}")
     order = _DRIVER_PRIORITY + [n for n in QUERIES if n not in _DRIVER_PRIORITY]
     for reg in (QUERIES, ORACLES):
         snap = dict(reg)

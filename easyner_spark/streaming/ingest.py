@@ -146,6 +146,7 @@ def epoch_dedup_pairs(
     sig_stage: str = "minhash_sigs",
     n_batches: int = 64,
     min_agreement: float | None = 0.9,
+    sig_fn=None,
 ) -> DataFrame:
     """Incremental near-dup pass for one ingest epoch: signature the
     NEW documents, probe the committed corpus signature stage, commit
@@ -158,7 +159,23 @@ def epoch_dedup_pairs(
     is returned — same-vocabulary pages otherwise chain into
     mega-components when the caller clusters the pairs (the exact
     over-merge pipeline.py's dedup stage guards against). Pass None for
-    the raw candidates (caller runs its own verification).
+    the raw candidates (caller runs its own verification). Caveat for
+    None: raw candidates may include collisions against STALE signature
+    versions of multi-version docs (only the verified path restricts to
+    each doc's latest version) — a caller doing its own verification
+    must compare against latest-per-doc signatures, as the built-in
+    path does via ``_latest_per_doc``.
+
+    ``sig_fn``: optional override for the signature stage — a callable
+    ``epoch_docs -> (doc_id, sig)`` replacing the default
+    ``minhash_signatures`` (xxhash64 family). The oracle-gated contract
+    query (queries.py: ``dedup_epoch_incremental``) injects a
+    cross-engine md5-based family here so the SAME incremental join
+    shape below is checked bit-for-bit against a DuckDB
+    full-join-then-filter oracle; production keeps the default (xxhash64
+    is JVM-codegen'd and cheaper than md5). All downstream machinery
+    (banding, salting, latest-version selection, commit anti-join) is
+    family-agnostic.
 
     This is the join shape that keeps web-scale dedup sustainable: each
     epoch costs O(epoch x bucket overlap), not corpus^2 — and the
@@ -243,8 +260,13 @@ def epoch_dedup_pairs(
     # materialized once: the epoch's shingle/minhash aggregate feeds the
     # pair probe, the similarity filter AND the signature-stage commit
     # — without this it recomputes per consumer
+    sig_src = (
+        sig_fn(epoch_docs)
+        if sig_fn is not None
+        else minhash_signatures(epoch_docs, id_col="doc_id", name_col="text")
+    )
     new_sigs = (
-        minhash_signatures(epoch_docs, id_col="doc_id", name_col="text")
+        sig_src
         .select(
             "doc_id",
             "sig",

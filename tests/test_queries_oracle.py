@@ -28,6 +28,27 @@ def test_driver_window_is_the_priority_list():
     assert list(ORACLES) == [n for n in QUERIES if n in ORACLES]
 
 
+def test_driver_window_union_invariant():
+    """Rotation contract (round-4 verdict #3): every registered query
+    must have a driver CORRECTNESS row no older than two rounds, i.e.
+    appear in the CURRENT window or the PREVIOUS one. New queries must
+    be in the current window (they have no prior row). Each recorded
+    window is exactly the 50 slots the driver checks, duplicate-free,
+    and names only real queries."""
+    from easyner_spark.queries import _DRIVER_ROUND, _DRIVER_WINDOWS
+
+    for rnd, win in _DRIVER_WINDOWS.items():
+        assert len(win) == 50, f"round {rnd} window != 50 slots"
+        assert len(set(win)) == 50, f"round {rnd} window has duplicates"
+    cur = set(_DRIVER_WINDOWS[_DRIVER_ROUND])
+    assert cur <= set(QUERIES)
+    prev = set(_DRIVER_WINDOWS.get(_DRIVER_ROUND - 1, ()))
+    stale = set(QUERIES) - cur - prev
+    assert not stale, (
+        f"queries without a driver row in the last two windows: {sorted(stale)}"
+    )
+
+
 @pytest.mark.parametrize("name", sorted(QUERIES))
 def test_query_matches_duckdb(spark, name):
     diff = compare_query(spark, SF_DIR, name, QUERIES[name], ORACLES[name])
