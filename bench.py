@@ -191,7 +191,8 @@ def run_bench(sf_dir: str, cpus: str, n_corpus_docs: int | None = None) -> dict:
         "kg_triples_per_sec": round(n_triples / kg_sec, 1),
         "cpus": cpus,
         # single-core window-quality stamp (see vm_microbench docstring);
-        # r5 reference points: ~1.2 s idle window, ~1.9 s degraded
+        # r5 host measured 0.6-0.85 s idle — the absolute level is
+        # host-generation-dependent, compare within a host/round only
         "vm_microbench_s": micro,
     }
 
