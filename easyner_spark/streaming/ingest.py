@@ -265,6 +265,21 @@ def epoch_dedup_pairs(
         if sig_fn is not None
         else minhash_signatures(epoch_docs, id_col="doc_id", name_col="text")
     )
+    # signature-FAMILY guard: committing one epoch with xxhash64
+    # bigints and the next with an injected md5-string family would
+    # silently match nothing (and corrupt the union schema). The
+    # committed stage's own sig column type is the truth — no sidecar
+    # key needed; same-typed families remain the caller's contract.
+    sig_type = sig_src.schema["sig"].dataType.simpleString()
+    if done:
+        committed_type = corpus_full.schema["sig"].dataType.simpleString()
+        if committed_type != sig_type:
+            raise ValueError(
+                f"stage '{sig_stage}' holds signatures of type "
+                f"{committed_type}; this call produces {sig_type} — "
+                "mixed signature families cannot match. Pass the "
+                "original sig_fn (or start a fresh stage)."
+            )
     new_sigs = (
         sig_src
         .select(

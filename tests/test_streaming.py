@@ -448,3 +448,41 @@ def test_pin_n_batches_semantics(tmp_path):
     assert cat.load_config("t")["n_batches"] == 32
     with pytest.raises(ValueError, match="n_batches"):
         _pin_n_batches(cat, "t", 64, has_data=True)
+
+
+def test_epoch_dedup_rejects_mixed_signature_family(spark, tmp_path):
+    """The sig-family datatype is pinned in the config sidecar: a stage
+    committed with the default xxhash64 bigint signatures must reject a
+    later call injecting a different-typed sig_fn (mixed families match
+    nothing, silently) — while a SAME-typed custom family is accepted."""
+    from pyspark.sql import functions as SF
+
+    from easyner_spark.streaming.ingest import epoch_dedup_pairs
+
+    wh = str(tmp_path / "wh_sigfamily")
+    mk = lambda rows: spark.createDataFrame(rows, "doc_id long, text string")
+    epoch_dedup_pairs(
+        spark, wh, mk([(1, "alpha beta gamma delta epsilon zeta eta theta")])
+    )
+
+    def md5_fn(docs):
+        return docs.select(
+            "doc_id", SF.array(SF.md5(SF.col("text").cast("binary"))).alias("sig")
+        )
+
+    with pytest.raises(ValueError, match="signature"):
+        epoch_dedup_pairs(
+            spark, wh, mk([(2, "one two three four five six seven")]), sig_fn=md5_fn
+        )
+
+    def bigint_fn(docs):
+        return docs.select(
+            "doc_id", SF.array(SF.xxhash64("text")).alias("sig")
+        )
+
+    # same datatype (array<bigint>) — accepted (the pin is a TYPE check;
+    # semantic family consistency stays the caller's contract)
+    epoch_dedup_pairs(
+        spark, wh, mk([(3, "eight nine ten eleven twelve thirteen")]),
+        sig_fn=bigint_fn,
+    )
