@@ -157,9 +157,12 @@ def run_bench(sf_dir: str, cpus: str, n_corpus_docs: int | None = None) -> dict:
         "profile_orders_columns",
         "kg_entity_trend",
         # ... plus the round-5 contract work: the reshaped per-dimension
-        # centroids and the epoch-incremental dedup service gate
+        # centroids, the epoch-incremental dedup service gate, sliding
+        # windows and the integer anomaly detector
         "embed_label_centroids",
         "dedup_epoch_incremental",
+        "events_sliding_window_users",
+        "events_hourly_anomaly",
     ]
     for name in headline:
         # min of two runs: this VM shows sporadic multi-second scheduler

@@ -5043,6 +5043,117 @@ def q_dedup_epoch_incremental(spark, sf_dir):
         shutil.rmtree(wh, ignore_errors=True)
 
 
+@register(
+    "events_sliding_window_users",
+    """
+WITH wins AS (
+  SELECT epoch_us(date_trunc('hour', ts)) - o * 3600000000 AS win_start_us,
+         event_type, user_id
+  FROM events, (SELECT unnest([0, 1]) AS o) s
+)
+SELECT CAST(win_start_us AS BIGINT) AS win_start_us, event_type,
+       CAST(count(DISTINCT user_id) AS BIGINT) AS n_users,
+       CAST(count(*) AS BIGINT) AS n_events
+FROM wins GROUP BY 1, 2
+""",
+)
+def q_events_sliding_window_users(spark, sf_dir):
+    """SLIDING (overlapping) event-time windows — the family tumbling
+    buckets can't express: distinct users per 2-hour window sliding by
+    1 hour, via the built-in ``F.window(ts, "2 hours", "1 hour")``
+    (each event lands in exactly 2 windows; Spark's window table-
+    function explodes JVM-side inside codegen). The oracle derives the
+    same membership arithmetically: window starts = trunc_hour(t) and
+    trunc_hour(t) − 1h (epoch-aligned, as Spark aligns). Scale shape:
+    2× row fan-out then one partial-agg shuffle keyed by (window,
+    type) — the same cost envelope as a tumbling agg, NOT a self-join;
+    this is also the exact batch twin of the streaming sliding-window
+    shape (readStream + the same F.window + watermark)."""
+    e = _read(spark, sf_dir, "events")
+    return (
+        e.groupBy(
+            F.window(F.col("ts").cast("timestamp"), "2 hours", "1 hour").alias("w"),
+            "event_type",
+        )
+        .agg(
+            F.countDistinct("user_id").alias("n_users"),
+            F.count("*").alias("n_events"),
+        )
+        .select(
+            F.unix_micros("w.start").alias("win_start_us"),
+            "event_type",
+            "n_users",
+            "n_events",
+        )
+    )
+
+
+@register(
+    "events_hourly_anomaly",
+    """
+WITH hourly AS (
+  SELECT CAST(epoch_us(date_trunc('hour', ts)) AS BIGINT) AS hour_us, event_type,
+         CAST(count(*) AS BIGINT) AS n
+  FROM events GROUP BY 1, 2
+),
+win AS (
+  SELECT hour_us, event_type, n,
+         SUM(n) OVER w AS s,
+         SUM(CAST(n AS DECIMAL(38,0)) * n) OVER w AS q,
+         COUNT(n) OVER w AS c
+  FROM hourly
+  WINDOW w AS (PARTITION BY event_type ORDER BY hour_us
+               ROWS BETWEEN 24 PRECEDING AND 1 PRECEDING)
+)
+SELECT hour_us, event_type, n, CAST(s AS BIGINT) AS sum24,
+       CAST(CAST(24 * n - s AS DECIMAL(38,0)) * (24 * n - s) >
+            4 * (24 * q - CAST(s AS DECIMAL(38,0)) * s) AS INT) AS anomaly
+FROM win WHERE c = 24
+""",
+)
+def q_events_hourly_anomaly(spark, sf_dir):
+    """ALL-INTEGER trailing-window anomaly detection (ops alerting over
+    event streams): flag an hour whose count deviates from its trailing
+    24 observed hours by more than 2 sigma — WITHOUT sqrt or floats.
+    With S = Σ24 counts, Q = Σ24 counts², the 2σ test
+    (n − S/24)² > 4·(Q/24 − (S/24)²) rearranges to the exact integer
+    comparison (24n − S)² > 4·(24Q − S²); squares go through
+    DECIMAL(38,0) so hub-level hourly counts (10⁹+) cannot overflow
+    int64. Scale shape: the window runs over the PRE-AGGREGATED
+    (type, hour) frame — |types|·|hours| rows, partitioned by type —
+    so the only corpus-sized work is the map-side-partial hourly
+    count; the trailing frame never touches raw events."""
+    e = _read(spark, sf_dir, "events")
+    hourly = e.groupBy(
+        F.unix_micros(F.date_trunc("hour", F.col("ts").cast("timestamp"))).alias(
+            "hour_us"
+        ),
+        "event_type",
+    ).agg(F.count("*").alias("n"))
+    w = W.partitionBy("event_type").orderBy("hour_us").rowsBetween(-24, -1)
+    s = F.sum("n").over(w)
+    q = F.sum(F.col("n").cast("decimal(38,0)") * F.col("n")).over(w)
+    c = F.count("n").over(w)
+    dev = F.lit(24) * F.col("n") - F.col("s")
+    dev2 = dev.cast("decimal(38,0)") * dev
+    rhs = F.lit(4) * (
+        F.lit(24) * F.col("q") - F.col("s").cast("decimal(38,0)") * F.col("s")
+    )
+    return (
+        hourly.select(
+            "hour_us", "event_type", "n", s.alias("s"), q.alias("q"), c.alias("c")
+        )
+        .filter(F.col("c") == 24)
+        .select(
+            "hour_us",
+            "event_type",
+            "n",
+            F.col("s").cast("bigint").alias("sum24"),
+            (dev2 > rhs).cast("int").alias("anomaly"),
+        )
+    )
+
+
 # ---------------------------------------------------------------------------
 # driver-gate ordering
 # ---------------------------------------------------------------------------
@@ -5171,11 +5282,12 @@ _DRIVER_WINDOWS: dict[int, list[str]] = {
         "merge_conflicts_resolved",
         "postprocess_sep_merge",
         "pubtator_rebase",
-        # veteran anchors (flagship KG + dedup/eval spine, green r4)
+        # new in round 5, batch 2 (sliding windows, integer anomaly)
+        "events_sliding_window_users",
+        "events_hourly_anomaly",
+        # veteran anchors (flagship KG spine, green r4)
         "kg_triple_counts",
         "kg_entity_frequency",
-        "dedup_minhash_pairs",
-        "eval_band_pr",
     ],
 }
 

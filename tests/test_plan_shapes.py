@@ -218,6 +218,8 @@ def test_round4_queries_have_no_single_partition_exchange(spark):
         "text_bigram_lm",
         "doc_sentence_dup_ratio",
         "kg_graph_pagerank_weighted",
+        "events_sliding_window_users",
+        "events_hourly_anomaly",
     ):
         plan = _plan(QUERIES[name](spark, SF_DIR))
         assert "Exchange SinglePartition" not in plan, name
