@@ -163,6 +163,7 @@ def run_bench(sf_dir: str, cpus: str, n_corpus_docs: int | None = None) -> dict:
         "dedup_epoch_incremental",
         "events_sliding_window_users",
         "events_hourly_anomaly",
+        "kg_graph_kcore",
     ]
     for name in headline:
         # min of two runs: this VM shows sporadic multi-second scheduler

@@ -370,3 +370,59 @@ def two_hop_reach(
     return two.groupBy(F.col("u").alias("node")).agg(
         F.count("*").cast("bigint").alias("n_two_hop")
     )
+
+
+def k_core(
+    edges: DataFrame,
+    k: int,
+    src: str = "src",
+    dst: str = "dst",
+    max_iter: int | None = None,
+) -> DataFrame:
+    """k-core peel → (node, core_degree): nodes of the maximal subgraph
+    in which every node has undirected degree ≥ k, with their degree
+    INSIDE that subgraph. The canonical dense-region extractor (the
+    robust counterpart of a raw-degree cut: a node with many edges to
+    peripheral nodes is peeled once its neighbors are).
+
+    Reference has no graph ops (frequency ranking only,
+    Aitslab/EasyNER scripts/analysis.py); this follows the standard
+    iterative peel: drop nodes with degree < k, recompute degrees on
+    the induced subgraph, repeat to fixpoint. Each round is two keyed
+    hash joins + one map-side-partial degree agg, localCheckpointed so
+    lineage stays flat (same discipline as the CC loop,
+    stages/canonical.py). Rounds needed = peel depth of the graph —
+    O(log n) on typical web graphs, O(n) only on a pure chain;
+    ``max_iter`` bounds the rounds explicitly (the result is then the
+    well-defined "max_iter-round peel", which the bounded contract
+    query pins cross-engine; None runs to fixpoint). The early-exit
+    count per round is a 1-row aggregate, not a collect of the frame.
+    """
+    u = _undirected(edges, src, dst).localCheckpoint()
+    rounds = 0
+    while True:
+        deg = (
+            u.select(F.col("a").alias("n"))
+            .union(u.select(F.col("b").alias("n")))
+            .groupBy("n")
+            .agg(F.count("*").alias("d"))
+        )
+        weak = deg.filter(F.col("d") < k).select("n").localCheckpoint()
+        rounds += 1
+        done_iters = max_iter is not None and rounds >= max_iter
+        if weak.limit(1).count() == 0:
+            break
+        u = (
+            u.join(weak.withColumnRenamed("n", "a"), "a", "left_anti")
+            .join(weak.withColumnRenamed("n", "b"), "b", "left_anti")
+            .localCheckpoint()
+        )
+        if done_iters:
+            break
+    deg = (
+        u.select(F.col("a").alias("node"))
+        .union(u.select(F.col("b").alias("node")))
+        .groupBy("node")
+        .agg(F.count("*").cast("bigint").alias("core_degree"))
+    )
+    return deg

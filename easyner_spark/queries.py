@@ -5154,6 +5154,88 @@ def q_events_hourly_anomaly(spark, sf_dir):
     )
 
 
+KCORE_K = 10
+KCORE_MIN_W = 5
+KCORE_ROUNDS = 8
+
+
+def _kcore_oracle() -> str:
+    """Unrolled bounded k-core peel (DuckDB cannot aggregate inside a
+    recursive CTE term, same constraint as _pagerank_oracle): u{i+1} =
+    u{i} minus edges touching nodes of degree < k. A round where no
+    node is weak leaves u unchanged, so a fixpoint reached before round
+    KCORE_ROUNDS survives the remaining unrolled rounds untouched —
+    bit-identical to the engine's early exit. Every u{i} is AS
+    MATERIALIZED: each round references its predecessor three times,
+    and DuckDB's default CTE inlining would otherwise expand the
+    upstream linked-subtree 3^rounds times (observed as a too-many-
+    open-files parquet-scan explosion)."""
+    ctes = [
+        f"""wu AS MATERIALIZED (
+  SELECT least(src, dst) AS a, greatest(src, dst) AS b, SUM(w) AS w
+  FROM (SELECT a.ent_id AS src, b.ent_id AS dst, count(*) AS w
+        FROM linked a JOIN linked b
+          ON a.doc_id = b.doc_id AND a.sent_idx = b.sent_idx AND a.pos < b.pos
+        WHERE a.ent_id <> b.ent_id GROUP BY 1, 2)
+  GROUP BY 1, 2),
+u0 AS MATERIALIZED (SELECT a, b FROM wu WHERE w >= {KCORE_MIN_W})"""
+    ]
+    for i in range(KCORE_ROUNDS):
+        ctes.append(
+            f"""deg{i} AS MATERIALIZED (
+  SELECT n, count(*) AS d FROM (
+    SELECT a AS n FROM u{i} UNION ALL SELECT b AS n FROM u{i}) GROUP BY n),
+weak{i} AS MATERIALIZED (SELECT n FROM deg{i} WHERE d < {KCORE_K}),
+u{i + 1} AS MATERIALIZED (
+  SELECT a, b FROM u{i}
+  WHERE a NOT IN (SELECT n FROM weak{i})
+    AND b NOT IN (SELECT n FROM weak{i}))"""
+        )
+    return (
+        _LINKED_CTE
+        + ",\n"
+        + ",\n".join(ctes)
+        + f"""
+SELECT n AS ent_id, CAST(count(*) AS BIGINT) AS core_degree FROM (
+  SELECT a AS n FROM u{KCORE_ROUNDS} UNION ALL SELECT b AS n FROM u{KCORE_ROUNDS})
+GROUP BY n"""
+    )
+
+
+@register("kg_graph_kcore", _kcore_oracle())
+def q_kg_graph_kcore(spark, sf_dir):
+    """k-core of the STRONG co-occurrence graph (undirected pair weight
+    ≥ KCORE_MIN_W): the canonical dense-region extractor — a node
+    survives only if ≥ k strong neighbors survive, so weakly-attached
+    entities cascade out where a raw degree cut would keep them.
+    Engine: ops/graph.py::k_core — iterative peel, two keyed anti-joins
+    + one map-side-partial degree agg per round, localCheckpoint per
+    round. The CONTRACT is the BOUNDED {KCORE_ROUNDS}-round peel
+    (well-defined at every SF; a fixpoint reached earlier is unchanged
+    by the remaining rounds — identical early-exit semantics in engine
+    and oracle), so the DuckDB oracle unrolls exactly that depth. At
+    web scale the peel depth of real graphs is O(log n); max_iter is
+    the honest bound, not a hidden truncation."""
+    from .ops.graph import k_core
+
+    we = wedges(spark, sf_dir)
+    wu = (
+        we.select(
+            F.least("src", "dst").alias("a"),
+            F.greatest("src", "dst").alias("b"),
+            "w",
+        )
+        .groupBy("a", "b")
+        .agg(F.sum("w").alias("w"))
+    )
+    strong = wu.filter(F.col("w") >= KCORE_MIN_W).select(
+        F.col("a").alias("src"), F.col("b").alias("dst")
+    )
+    return k_core(strong, k=KCORE_K, max_iter=KCORE_ROUNDS).select(
+        F.col("node").alias("ent_id"), "core_degree"
+    )
+
+
 # ---------------------------------------------------------------------------
 # driver-gate ordering
 # ---------------------------------------------------------------------------
@@ -5282,12 +5364,13 @@ _DRIVER_WINDOWS: dict[int, list[str]] = {
         "merge_conflicts_resolved",
         "postprocess_sep_merge",
         "pubtator_rebase",
-        # new in round 5, batch 2 (sliding windows, integer anomaly)
+        # new in round 5, batch 2 (sliding windows, integer anomaly,
+        # bounded k-core peel)
         "events_sliding_window_users",
         "events_hourly_anomaly",
-        # veteran anchors (flagship KG spine, green r4)
+        "kg_graph_kcore",
+        # veteran anchor (flagship KG spine, green r4)
         "kg_triple_counts",
-        "kg_entity_frequency",
     ],
 }
 

@@ -405,3 +405,74 @@ def test_pagerank_epsilon_bounds_divergence_on_chain(spark):
     }
     # geometric tail bound: total remaining movement <= eps * d/(1-d)
     assert all(abs(early[n] - full[n]) <= 6 * eps for n in full)
+
+
+def _py_kcore(edges, k, max_iter=None):
+    """Sequential peel oracle: undirected dedup, drop deg<k nodes per
+    round, to fixpoint (or max_iter rounds)."""
+    u = {tuple(sorted(e)) for e in edges if e[0] != e[1]}
+    rounds = 0
+    while True:
+        deg = {}
+        for a, b in u:
+            deg[a] = deg.get(a, 0) + 1
+            deg[b] = deg.get(b, 0) + 1
+        weak = {n for n, d in deg.items() if d < k}
+        rounds += 1
+        if not weak:
+            break
+        u = {(a, b) for a, b in u if a not in weak and b not in weak}
+        if max_iter is not None and rounds >= max_iter:
+            break
+    deg = {}
+    for a, b in u:
+        deg[a] = deg.get(a, 0) + 1
+        deg[b] = deg.get(b, 0) + 1
+    return deg
+
+
+def _run_kcore(spark, edges, k, max_iter=None):
+    from easyner_spark.ops.graph import k_core
+
+    df = spark.createDataFrame(edges, "src long, dst long")
+    got = k_core(df, k, max_iter=max_iter).collect()
+    return {r["node"]: r["core_degree"] for r in got}
+
+
+def test_kcore_chain_dissolves(spark):
+    """A pure chain has no 2-core: ends peel first, then the cascade
+    eats inward — the case a raw degree cut gets wrong."""
+    chain = [(i, i + 1) for i in range(1, 6)]
+    assert _run_kcore(spark, chain, 2) == {}
+    assert _py_kcore(chain, 2) == {}
+
+
+def test_kcore_triangle_survives_pendants(spark):
+    edges = [(1, 2), (2, 3), (1, 3), (3, 4), (4, 5)]  # triangle + tail
+    expect = _py_kcore(edges, 2)
+    assert expect == {1: 2, 2: 2, 3: 2}
+    assert _run_kcore(spark, edges, 2) == expect
+
+
+def test_kcore_bounded_peel_matches_oracle(spark):
+    """max_iter semantics (the contract query's bounded mode): one peel
+    round removes only the chain's current endpoints; the python oracle
+    with the same bound agrees, and the unbounded run reaches the
+    oracle fixpoint."""
+    chain = [(i, i + 1) for i in range(1, 8)]
+    for mi in (1, 2, None):
+        assert _run_kcore(spark, chain, 2, max_iter=mi) == _py_kcore(
+            chain, 2, max_iter=mi
+        )
+
+
+def test_kcore_k4_with_fringe_and_direction_dedup(spark):
+    """K4 survives k=3; duplicate/reversed/self edges collapse; fringe
+    nodes connected to the core but below k are peeled."""
+    k4 = [(1, 2), (1, 3), (1, 4), (2, 3), (2, 4), (3, 4)]
+    noise = [(2, 1), (3, 3), (4, 3)]  # reversed dup, self loop, dup
+    fringe = [(1, 9), (2, 9), (9, 10)]
+    edges = k4 + noise + fringe
+    expect = _py_kcore(edges, 3)
+    assert expect == {1: 3, 2: 3, 3: 3, 4: 3}
+    assert _run_kcore(spark, edges, 3) == expect

@@ -220,6 +220,7 @@ def test_round4_queries_have_no_single_partition_exchange(spark):
         "kg_graph_pagerank_weighted",
         "events_sliding_window_users",
         "events_hourly_anomaly",
+        "kg_graph_kcore",
     ):
         plan = _plan(QUERIES[name](spark, SF_DIR))
         assert "Exchange SinglePartition" not in plan, name
