@@ -524,10 +524,17 @@ def streaming_entity_counts(
     gazetteer: dict[str, str] | list[tuple[str, str]],
     window: str = "1 hour",
     watermark: str = "30 minutes",
+    slide: str | None = None,
 ) -> DataFrame:
     """Windowed streaming aggregate: entity mentions per event-time
     window (the streaming twin of A1). Works on the page stream
-    directly: extract → split → match inside the micro-batch plan."""
+    directly: extract → split → match inside the micro-batch plan.
+
+    ``slide`` (optional): SLIDING windows — each mention lands in
+    window_duration/slide overlapping windows (the streaming twin of
+    the events_sliding_window_users batch contract; state size grows by
+    the same factor, bounded by the watermark as before). None keeps
+    tumbling windows, bit-identical to before the option existed."""
     from ..stages.ner_dict import dict_ner
     from ..stages.split import _split_udf
 
@@ -543,6 +550,9 @@ def streaming_entity_counts(
         F.posexplode(_split_udf("text")).alias("sent_idx", "text"),
     )
     mentions = dict_ner(sents, gazetteer)  # warc_ts passes through
-    return mentions.groupBy(F.window("warc_ts", window), "surface").agg(
-        F.count("*").alias("n")
+    win = (
+        F.window("warc_ts", window)
+        if slide is None
+        else F.window("warc_ts", window, slide)
     )
+    return mentions.groupBy(win, "surface").agg(F.count("*").alias("n"))

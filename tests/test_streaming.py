@@ -486,3 +486,35 @@ def test_epoch_dedup_rejects_mixed_signature_family(spark, tmp_path):
         spark, wh, mk([(3, "eight nine ten eleven twelve thirteen")]),
         sig_fn=bigint_fn,
     )
+
+
+def test_streaming_sliding_window_entity_counts(spark, dirs):
+    """Sliding-window mode: each mention lands in window/slide
+    overlapping windows, so per-window totals must sum to slide-factor
+    x the tumbling totals over the same stream (complete mode exposes
+    open windows for the check)."""
+    pdf = make_pages_pdf(n_docs=40)
+    _write_pages(spark, pdf, dirs["in"])
+
+    def run(name, **kw):
+        stream = spark.readStream.schema(PAGES_SCHEMA).parquet(dirs["in"])
+        agg = streaming_entity_counts(stream, GAZETTEER, **kw)
+        q = (
+            agg.writeStream.format("memory")
+            .queryName(name)
+            .outputMode("complete")
+            .start()
+        )
+        q.processAllAvailable()
+        q.stop()
+        return spark.sql(
+            f"SELECT surface, SUM(n) AS t FROM {name} GROUP BY surface"
+        ).collect()
+
+    tumb = {r["surface"]: r["t"] for r in run("slide_t", window="1 hour")}
+    slid = {
+        r["surface"]: r["t"]
+        for r in run("slide_s", window="1 hour", slide="30 minutes")
+    }
+    assert tumb and set(slid) == set(tumb)
+    assert all(slid[s] == 2 * tumb[s] for s in tumb)
