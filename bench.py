@@ -178,8 +178,20 @@ def run_bench(sf_dir: str, cpus: str, n_corpus_docs: int | None = None) -> dict:
 
     total = round(sum(results.values()), 3)
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
-    # stamp AFTER the suite: the value captures the window the query
-    # seconds above were actually measured in
+    # stamps AFTER the suite: the values capture the window the query
+    # seconds above were actually measured in. BOTH stamps matter:
+    # python and JVM throughput drift INDEPENDENTLY on this host (a
+    # same-day pair of runs measured python 0.69 both times while the
+    # fused KG job went 15.0 -> 23.1 s) — the JVM stamp is a
+    # single-task codegen'd range-sum on the live session.
+    jvm_best = None
+    for _ in range(3):
+        t0 = time.time()
+        spark.range(0, 1_000_000_000, 1, 1).selectExpr(
+            "sum(id) AS s"
+        ).collect()
+        dt = time.time() - t0
+        jvm_best = dt if jvm_best is None or dt < jvm_best else jvm_best
     micro = vm_microbench()
     return {
         "metric": "e2e_suite_sec",
@@ -194,10 +206,12 @@ def run_bench(sf_dir: str, cpus: str, n_corpus_docs: int | None = None) -> dict:
         "kg_chars_per_sec": round(n_chars / kg_sec, 1),
         "kg_triples_per_sec": round(n_triples / kg_sec, 1),
         "cpus": cpus,
-        # single-core window-quality stamp (see vm_microbench docstring);
-        # r5 host measured 0.6-0.85 s idle — the absolute level is
-        # host-generation-dependent, compare within a host/round only
+        # single-core window-quality stamps (see vm_microbench docstring
+        # and the comment above); r5 host measured python 0.6-0.85 s
+        # idle — absolute levels are host-generation-dependent, compare
+        # within a host/round only
         "vm_microbench_s": micro,
+        "jvm_microbench_s": round(jvm_best, 3),
     }
 
 
