@@ -75,10 +75,11 @@ def pagerank(
     summed). Weights must be POSITIVE: rows with w <= 0 are dropped
     before aggregation (a zero-out-weight source would divide by zero;
     negative weights would floor/truncate differently across engines).
-    Pick ``scale`` so rank × max-edge-weight stays inside int64 (ANSI
-    mode fails loudly otherwise) — e.g. 1e9 for co-occurrence weights
-    up to ~1e4 on million-node graphs. With weight=None the classic
-    uniform split runs, bit-identical to before the option existed.
+    The rank × weight product is computed in DECIMAL(38,0) (cast
+    BEFORE the multiply), so hub ranks × large weights cannot overflow
+    int64; only the final per-node rank must fit a BIGINT (ANSI mode
+    fails loudly otherwise). With weight=None the classic uniform
+    split runs, bit-identical to before the option existed.
 
     Plan shape: the (src, dst, out_degree) table is materialized once
     (localCheckpoint) and reused every round; each iteration is one
@@ -184,18 +185,24 @@ def _undirected(edges: DataFrame, src: str, dst: str) -> DataFrame:
     )
 
 
+def _degrees(u: DataFrame, node_col: str = "n", deg_col: str = "d") -> DataFrame:
+    """Undirected degrees of an (a, b) edge frame — one map-side-partial
+    agg over the unioned endpoints (union == UNION ALL in Spark, so
+    each incident edge counts once per endpoint)."""
+    return (
+        u.select(F.col("a").alias(node_col))
+        .union(u.select(F.col("b").alias(node_col)))
+        .groupBy(node_col)
+        .agg(F.count("*").alias(deg_col))
+    )
+
+
 def _drop_hubs(u: DataFrame, max_degree: int) -> DataFrame:
     """Remove edges touching nodes whose undirected degree exceeds the
     cap — the standard super-hub guard before quadratic expansions
     (same policy as stages/triples.py's per-sentence mention cap:
     opt-in, exact when None)."""
-    deg = (
-        u.select(F.col("a").alias("n"))
-        .union(u.select(F.col("b").alias("n")))
-        .groupBy("n")
-        .agg(F.count("*").alias("d"))
-    )
-    hubs = deg.filter(F.col("d") > max_degree).select("n")
+    hubs = _degrees(u).filter(F.col("d") > max_degree).select("n")
     return u.join(
         hubs.withColumnRenamed("n", "a"), "a", "left_anti"
     ).join(hubs.withColumnRenamed("n", "b"), "b", "left_anti")
@@ -400,16 +407,10 @@ def k_core(
     """
     u = _undirected(edges, src, dst).localCheckpoint()
     rounds = 0
-    while True:
-        deg = (
-            u.select(F.col("a").alias("n"))
-            .union(u.select(F.col("b").alias("n")))
-            .groupBy("n")
-            .agg(F.count("*").alias("d"))
-        )
-        weak = deg.filter(F.col("d") < k).select("n").localCheckpoint()
+    # max_iter <= 0 is the 0-round peel: the input graph's own degrees
+    while max_iter is None or rounds < max_iter:
+        weak = _degrees(u).filter(F.col("d") < k).select("n").localCheckpoint()
         rounds += 1
-        done_iters = max_iter is not None and rounds >= max_iter
         if weak.limit(1).count() == 0:
             break
         u = (
@@ -417,12 +418,6 @@ def k_core(
             .join(weak.withColumnRenamed("n", "b"), "b", "left_anti")
             .localCheckpoint()
         )
-        if done_iters:
-            break
-    deg = (
-        u.select(F.col("a").alias("node"))
-        .union(u.select(F.col("b").alias("node")))
-        .groupBy("node")
-        .agg(F.count("*").cast("bigint").alias("core_degree"))
+    return _degrees(u, "node", "core_degree").select(
+        "node", F.col("core_degree").cast("bigint").alias("core_degree")
     )
-    return deg

@@ -90,16 +90,23 @@ def _read(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 
+def _doc_tokens(docs: DataFrame) -> DataFrame:
+    """(doc_id, text) → (doc_id, pos, token): ONE definition of the
+    contract tokenization (non-empty split(' ') elements, within-row
+    order via posexplode — narrow, no shuffle). tokens() and the
+    epoch-dedup sig_fn both build on this, so the oracle's _TOKS_CTE
+    has exactly one Spark twin."""
+    return docs.select(
+        "doc_id",
+        F.posexplode(F.split("text", " ")).alias("pos", "token"),
+    ).filter(F.col("token") != "")
+
+
 def tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
     """documents → (doc_id, pos, sent_idx, batch_id, token). Narrow plan:
     posexplode keeps within-row order, no shuffle."""
     return (
-        _read(spark, sf_dir, "documents")
-        .select(
-            "doc_id",
-            F.posexplode(F.split("text", " ")).alias("pos", "token"),
-        )
-        .filter(F.col("token") != "")
+        _doc_tokens(_read(spark, sf_dir, "documents"))
         .select(
             "doc_id",
             "pos",
@@ -1048,17 +1055,26 @@ def q_dedup_minhash_pairs(spark, sf_dir):
     return _minhash_pairs_from(shingles(spark, sf_dir))
 
 
-def _minhash_pairs_from(sh: DataFrame) -> DataFrame:
-    """(doc_id, shingle) → (doc_a, doc_b) LSH candidate pairs; split
-    out so composite queries reuse one materialized shingle frame."""
-    sigs = sh.groupBy("doc_id").agg(
+def _md5_sig_cols(sh: DataFrame) -> DataFrame:
+    """(doc_id, shingle) → (doc_id, h0..h{S-1}): ONE definition of the
+    cross-engine md5 minhash family (the Spark twin of
+    _minhash_sig_exprs_sql — min over hex strings is lexicographic in
+    both engines). dedup_minhash_pairs and the epoch-dedup sig_fn both
+    build on this so the two can never drift apart."""
+    return sh.groupBy("doc_id").agg(
         *[
-            F.min(F.md5(F.concat(F.lit(f"{s}|"), F.col("shingle")).cast("binary"))).alias(
-                f"h{s}"
-            )
+            F.min(
+                F.md5(F.concat(F.lit(f"{s}|"), F.col("shingle")).cast("binary"))
+            ).alias(f"h{s}")
             for s in range(MINHASH_SEEDS)
         ]
     )
+
+
+def _minhash_pairs_from(sh: DataFrame) -> DataFrame:
+    """(doc_id, shingle) → (doc_a, doc_b) LSH candidate pairs; split
+    out so composite queries reuse one materialized shingle frame."""
+    sigs = _md5_sig_cols(sh)
     bands = sigs.select(
         "doc_id",
         F.explode(
@@ -4716,7 +4732,7 @@ def q_doc_lm_score(spark, sf_dir):
 
 
 WPAGERANK_ITERS = 3
-WPR_SCALE = 10**9  # rank × max edge weight must stay inside int64
+WPR_SCALE = 10**9  # final per-node rank must fit int64 (products are wide)
 
 
 def _weighted_pagerank_oracle(iters: int, scale: int) -> str:
@@ -4734,7 +4750,10 @@ def _weighted_pagerank_oracle(iters: int, scale: int) -> str:
          CAST({base} + ({PR_DAMP_NUM} * COALESCE(s.c, 0)) // {PR_DAMP_DEN}
               AS BIGINT) AS rank
   FROM nodes n LEFT JOIN (
-    SELECT e.dst AS node, SUM((r.rank * e.w) // d.wsum) AS c
+    -- HUGEINT product mirrors the engine's DECIMAL(38,0) cast-before-
+    -- multiply (ops/graph.py): a hub's rank x a large weight must not
+    -- overflow on either side of the contract
+    SELECT e.dst AS node, SUM((CAST(r.rank AS HUGEINT) * e.w) // d.wsum) AS c
     FROM wedges e JOIN r{i - 1} r ON e.src = r.node
                   JOIN outw d ON e.src = d.node
     GROUP BY e.dst) s ON n.node = s.node)"""
@@ -4768,7 +4787,8 @@ def q_kg_graph_pagerank_weighted(spark, sf_dir):
     strength instead of uniformly per neighbor — the centrality a KG
     actually serves (a once-co-occurring pair shouldn't pull like a
     thousand-sentence pair). Exact integers throughout ((rank * w) div
-    wsum; scale 1e9 keeps the product inside int64, ANSI-checked);
+    wsum with the product in DECIMAL(38,0)/HUGEINT on the two sides —
+    overflow-free even for hub ranks x large weights);
     3 fixed rounds so the DuckDB oracle replays the identical
     recursion. Engine: ops/graph.py:pagerank(weight=...) — same
     localCheckpoint-per-round plan as the uniform variant; the graph is
@@ -4936,8 +4956,11 @@ def q_multimodal_frame_sample(spark, sf_dir):
     )
 
 
+EPOCH_BANDS = 4  # pinned on BOTH sides of the contract (engine call below)
+
+
 def _epoch_band_sql() -> str:
-    n_bands = 4
+    n_bands = EPOCH_BANDS
     rows = MINHASH_SEEDS // n_bands
     return " OR ".join(
         "("
@@ -5000,23 +5023,10 @@ def q_dedup_epoch_incremental(spark, sf_dir):
     docs = _read(spark, sf_dir, "documents").select("doc_id", "text")
 
     def sig_fn(epoch_docs: DataFrame) -> DataFrame:
-        t = (
-            epoch_docs.select(
-                "doc_id", F.posexplode(F.split("text", " ")).alias("pos", "token")
-            )
-            .filter(F.col("token") != "")
-        )
-        sh = _shingles_from_tokens(t)
-        sigs = sh.groupBy("doc_id").agg(
-            *[
-                F.min(
-                    F.md5(
-                        F.concat(F.lit(f"{s}|"), F.col("shingle")).cast("binary")
-                    )
-                ).alias(f"h{s}")
-                for s in range(MINHASH_SEEDS)
-            ]
-        )
+        # shared leaves: _doc_tokens → _shingles_from_tokens →
+        # _md5_sig_cols are the SAME helpers dedup_minhash_pairs uses,
+        # so this family and its oracle can never drift apart
+        sigs = _md5_sig_cols(_shingles_from_tokens(_doc_tokens(epoch_docs)))
         return sigs.select(
             "doc_id",
             F.array(*[F.col(f"h{s}") for s in range(MINHASH_SEEDS)]).alias("sig"),
@@ -5025,7 +5035,11 @@ def q_dedup_epoch_incremental(spark, sf_dir):
     wh = tempfile.mkdtemp(prefix="dedup_epoch_wh_")
     try:
         common = dict(
-            max_bucket=1_000_000_000, n_batches=4, min_agreement=0.5, sig_fn=sig_fn
+            max_bucket=1_000_000_000,
+            n_batches=4,
+            min_agreement=0.5,
+            sig_fn=sig_fn,
+            num_bands=EPOCH_BANDS,  # pinned: the oracle unrolls this count
         )
         # epoch A: signature + commit; its (even×even) pairs were this
         # epoch's increment and are deliberately not part of the output

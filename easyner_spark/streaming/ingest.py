@@ -147,6 +147,7 @@ def epoch_dedup_pairs(
     n_batches: int = 64,
     min_agreement: float | None = 0.9,
     sig_fn=None,
+    num_bands: int = 4,
 ) -> DataFrame:
     """Incremental near-dup pass for one ingest epoch: signature the
     NEW documents, probe the committed corpus signature stage, commit
@@ -175,7 +176,9 @@ def epoch_dedup_pairs(
     full-join-then-filter oracle; production keeps the default (xxhash64
     is JVM-codegen'd and cheaper than md5). All downstream machinery
     (banding, salting, latest-version selection, commit anti-join) is
-    family-agnostic.
+    family-agnostic. ``num_bands`` is pinned here rather than inherited
+    from canonical.py's default so the oracle contract and the engine
+    cannot drift apart through a default edit in a different module.
 
     This is the join shape that keeps web-scale dedup sustainable: each
     epoch costs O(epoch x bucket overlap), not corpus^2 — and the
@@ -293,7 +296,11 @@ def epoch_dedup_pairs(
     if done:
         corpus = corpus_full.select("doc_id", "sig")
         pairs = incremental_lsh_candidates(
-            new_sigs, corpus, id_col="doc_id", max_bucket=max_bucket
+            new_sigs,
+            corpus,
+            id_col="doc_id",
+            num_bands=num_bands,
+            max_bucket=max_bucket,
         )
         if min_agreement is not None:
             # verify against ONE signature per doc_id — its LATEST
@@ -339,7 +346,7 @@ def epoch_dedup_pairs(
         cat.write_stage(fresh, sig_stage, resume_mode="skip_committed")
     else:
         pairs = lsh_candidate_pairs(
-            new_sigs, id_col="doc_id", max_bucket=max_bucket
+            new_sigs, id_col="doc_id", num_bands=num_bands, max_bucket=max_bucket
         )
         if min_agreement is not None:
             pairs = signature_similarity_filter(

@@ -412,7 +412,8 @@ def _py_kcore(edges, k, max_iter=None):
     round, to fixpoint (or max_iter rounds)."""
     u = {tuple(sorted(e)) for e in edges if e[0] != e[1]}
     rounds = 0
-    while True:
+    # mirrors ops/graph.py: max_iter <= 0 == the 0-round peel
+    while max_iter is None or rounds < max_iter:
         deg = {}
         for a, b in u:
             deg[a] = deg.get(a, 0) + 1
@@ -422,8 +423,6 @@ def _py_kcore(edges, k, max_iter=None):
         if not weak:
             break
         u = {(a, b) for a, b in u if a not in weak and b not in weak}
-        if max_iter is not None and rounds >= max_iter:
-            break
     deg = {}
     for a, b in u:
         deg[a] = deg.get(a, 0) + 1
@@ -458,9 +457,10 @@ def test_kcore_bounded_peel_matches_oracle(spark):
     """max_iter semantics (the contract query's bounded mode): one peel
     round removes only the chain's current endpoints; the python oracle
     with the same bound agrees, and the unbounded run reaches the
-    oracle fixpoint."""
+    oracle fixpoint; max_iter=0 is the 0-round peel (input degrees,
+    endpoints intact)."""
     chain = [(i, i + 1) for i in range(1, 8)]
-    for mi in (1, 2, None):
+    for mi in (0, 1, 2, None):
         assert _run_kcore(spark, chain, 2, max_iter=mi) == _py_kcore(
             chain, 2, max_iter=mi
         )
