@@ -164,6 +164,7 @@ def run_bench(sf_dir: str, cpus: str, n_corpus_docs: int | None = None) -> dict:
         "events_sliding_window_users",
         "events_hourly_anomaly",
         "kg_graph_kcore",
+        "kg_graph_label_prop",
     ]
     for name in headline:
         # min of two runs: this VM shows sporadic multi-second scheduler

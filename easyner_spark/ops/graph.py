@@ -379,6 +379,88 @@ def two_hop_reach(
     )
 
 
+def label_propagation(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    iterations: int = 4,
+    max_degree: int | None = None,
+    snapshots: list | None = None,
+) -> DataFrame:
+    """Fixed-round SYNCHRONOUS label propagation → (node, community).
+
+    The classic near-linear community detector (Raghavan et al. 2007)
+    made deterministic: every node starts as its own label; each round
+    EVERY node simultaneously adopts the most frequent label among its
+    neighbors, ties broken by the MINIMUM label. Synchronous update +
+    total tie order make the result a pure function of the graph — no
+    vertex ordering, partitioning, or RNG enters — so a SQL oracle can
+    replay the identical recursion (float-free: counts and string mins
+    only). Fixed ``iterations`` is the contract (synchronous LPA can
+    oscillate on bipartite structures; a bounded round count is the
+    honest cross-engine semantic, as with pagerank/k_core above).
+
+    Per round the plan is ONE shuffled hash join (adjacency ⋈ labels on
+    the neighbor id) feeding ONE two-level aggregate: the argmax
+    ((max count, min label)) is computed as ``min(struct(-c, label))``
+    — a single map-side-partial agg keyed by node, no window, no second
+    shuffle. localCheckpoint per round keeps lineage flat. With the
+    adjacency bucketed by ``v`` only the one-row-per-node label frame
+    crosses the wire each round. ``max_degree`` (opt-in, exact when
+    None) drops super-hub edges first — the usual stopword-entity
+    guard, same policy as ``triangles``/``node_jaccard``.
+
+    ``snapshots`` (optional list, same observability pattern as
+    pagerank's ``info``): receives the (node, label) frame after each
+    round — already localCheckpointed, so consuming them later costs
+    no recomputation. The contract query unions them into the full
+    propagation trajectory, which pins every intermediate round
+    cross-engine, not just the (often fully-converged) fixpoint.
+
+    Reference has no graph ops (frequency ranking only,
+    Aitslab/EasyNER scripts/analysis.py:61-104); this is the
+    graph-native grouping its entity lists hint at.
+    """
+    u = _undirected(edges, src, dst).localCheckpoint()
+    if max_degree is not None:
+        u = _drop_hubs(u, max_degree).localCheckpoint()
+    adj = (
+        u.select(F.col("a").alias("u"), F.col("b").alias("v"))
+        .union(u.select(F.col("b").alias("u"), F.col("a").alias("v")))
+        .localCheckpoint()  # reused every round + seeds the label frame
+    )
+    # nodes come from edges, so every node has >= 1 neighbor and the
+    # per-round join covers every node — no coalesce branch needed
+    labels = (
+        adj.select(F.col("u").alias("node"))
+        .distinct()
+        .select("node", F.col("node").alias("label"))
+        .localCheckpoint()
+    )
+    for _ in range(iterations):
+        cnt = (
+            adj.join(labels, adj["v"] == labels["node"])
+            .groupBy(F.col("u"), F.col("label"))
+            .agg(F.count("*").alias("c"))
+        )
+        # argmax (max c, tie -> min label) in one agg: struct ordering
+        # is field-lexicographic, so min(struct(-c, label)) selects the
+        # highest count first, then the smallest label
+        labels = (
+            cnt.groupBy(F.col("u").alias("node"))
+            .agg(
+                F.min(
+                    F.struct((-F.col("c")).alias("nc"), F.col("label"))
+                ).alias("m")
+            )
+            .select("node", F.col("m.label").alias("label"))
+            .localCheckpoint()
+        )
+        if snapshots is not None:
+            snapshots.append(labels)
+    return labels.select("node", F.col("label").alias("community"))
+
+
 def k_core(
     edges: DataFrame,
     k: int,

@@ -5250,6 +5250,99 @@ def q_kg_graph_kcore(spark, sf_dir):
     )
 
 
+LP_ROUNDS = 4
+LP_MIN_W = 3
+
+
+def _label_prop_oracle() -> str:
+    """Unrolled synchronous label propagation (DuckDB cannot aggregate
+    inside a recursive CTE term, same constraint as _pagerank_oracle /
+    _kcore_oracle): l{i} assigns every node the most frequent label
+    among its neighbors' l{i-1} labels, ties -> MIN(label). The argmax
+    is a window max + equality filter + GROUP BY MIN — deterministic,
+    float-free. Every CTE is AS MATERIALIZED (round-5 rule: DuckDB
+    default-inlines CTEs and an unrolled chain explodes exponentially
+    otherwise)."""
+    ctes = [
+        f"""wu AS MATERIALIZED (
+  SELECT least(src, dst) AS a, greatest(src, dst) AS b, SUM(w) AS w
+  FROM (SELECT a.ent_id AS src, b.ent_id AS dst, count(*) AS w
+        FROM linked a JOIN linked b
+          ON a.doc_id = b.doc_id AND a.sent_idx = b.sent_idx AND a.pos < b.pos
+        WHERE a.ent_id <> b.ent_id GROUP BY 1, 2)
+  GROUP BY 1, 2),
+adj AS MATERIALIZED (
+  SELECT a AS u, b AS v FROM wu WHERE w >= {LP_MIN_W}
+  UNION ALL
+  SELECT b AS u, a AS v FROM wu WHERE w >= {LP_MIN_W}),
+l0 AS MATERIALIZED (SELECT DISTINCT u AS node, u AS label FROM adj)"""
+    ]
+    for i in range(1, LP_ROUNDS + 1):
+        ctes.append(
+            f"""c{i} AS MATERIALIZED (
+  SELECT a.u, l.label, count(*) AS c
+  FROM adj a JOIN l{i - 1} l ON a.v = l.node GROUP BY 1, 2),
+l{i} AS MATERIALIZED (
+  SELECT u AS node, MIN(label) AS label
+  FROM (SELECT u, label, c, MAX(c) OVER (PARTITION BY u) AS mc FROM c{i})
+  WHERE c = mc GROUP BY u)"""
+        )
+    finals = "\nUNION ALL\n".join(
+        f"SELECT CAST({i} AS INT) AS rnd, node AS ent_id, label AS community"
+        f" FROM l{i}"
+        for i in range(1, LP_ROUNDS + 1)
+    )
+    return _LINKED_CTE + ",\n" + ",\n".join(ctes) + "\n" + finals
+
+
+@register("kg_graph_label_prop", _label_prop_oracle())
+def q_kg_graph_label_prop(spark, sf_dir):
+    """Community detection over the strong co-occurrence graph
+    (undirected pair weight ≥ LP_MIN_W): deterministic synchronous
+    label propagation, {LP_ROUNDS} fixed rounds — the near-linear
+    community detector, made cross-engine exact by the synchronous
+    update + min-label tie order (no RNG, no vertex ordering, no
+    floats; see ops/graph.py::label_propagation for the per-round plan
+    shape: one keyed join + one single-pass struct argmax agg,
+    localCheckpoint per round). The contract output is the FULL
+    trajectory (rnd, ent_id, community) for rounds 1..{LP_ROUNDS} —
+    the dense synthetic graph converges by round 2, so the fixpoint
+    alone would under-discriminate; pinning every intermediate round
+    checks the argmax/tie dynamics themselves. Scalar columns only,
+    per the driver-hasher contract; the snapshots are the rounds'
+    already-localCheckpointed frames, so the union recomputes
+    nothing."""
+    from .ops.graph import label_propagation
+
+    we = wedges(spark, sf_dir)
+    wu = (
+        we.select(
+            F.least("src", "dst").alias("a"),
+            F.greatest("src", "dst").alias("b"),
+            "w",
+        )
+        .groupBy("a", "b")
+        .agg(F.sum("w").alias("w"))
+    )
+    strong = wu.filter(F.col("w") >= LP_MIN_W).select(
+        F.col("a").alias("src"), F.col("b").alias("dst")
+    )
+    snaps: list[DataFrame] = []
+    label_propagation(strong, iterations=LP_ROUNDS, snapshots=snaps)
+    rounds = [
+        s.select(
+            F.lit(i + 1).cast("int").alias("rnd"),
+            F.col("node").alias("ent_id"),
+            F.col("label").alias("community"),
+        )
+        for i, s in enumerate(snaps)
+    ]
+    out = rounds[0]
+    for r in rounds[1:]:
+        out = out.union(r)
+    return out
+
+
 # ---------------------------------------------------------------------------
 # driver-gate ordering
 # ---------------------------------------------------------------------------
@@ -5383,8 +5476,10 @@ _DRIVER_WINDOWS: dict[int, list[str]] = {
         "events_sliding_window_users",
         "events_hourly_anomaly",
         "kg_graph_kcore",
-        # veteran anchor (flagship KG spine, green r4)
-        "kg_triple_counts",
+        # new in round 5, batch 3 (community detection; takes the slot
+        # of veteran anchor kg_triple_counts — green r4, so the union
+        # invariant still covers it via the previous window)
+        "kg_graph_label_prop",
     ],
 }
 

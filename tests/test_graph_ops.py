@@ -476,3 +476,88 @@ def test_kcore_k4_with_fringe_and_direction_dedup(spark):
     expect = _py_kcore(edges, 3)
     assert expect == {1: 3, 2: 3, 3: 3, 4: 3}
     assert _run_kcore(spark, edges, 3) == expect
+
+
+def _py_lpa(edges, iterations):
+    """Sequential synchronous-LPA oracle: most frequent neighbor label,
+    ties -> min label, ALL nodes updated simultaneously per round."""
+    u = {tuple(sorted(e)) for e in edges if e[0] != e[1]}
+    adj = {}
+    for a, b in u:
+        adj.setdefault(a, set()).add(b)
+        adj.setdefault(b, set()).add(a)
+    labels = {n: n for n in adj}
+    for _ in range(iterations):
+        labels = {
+            n: min(
+                (
+                    (label, sum(1 for v in nbrs if labels[v] == label))
+                    for label in {labels[v] for v in nbrs}
+                ),
+                key=lambda kv: (-kv[1], kv[0]),
+            )[0]
+            for n, nbrs in adj.items()
+        }
+    return labels
+
+
+def _run_lpa(spark, edges, iterations, **kw):
+    from easyner_spark.ops.graph import label_propagation
+
+    df = _edges(spark, [(str(a), str(b)) for a, b in edges])
+    got = label_propagation(df, iterations=iterations, **kw).collect()
+    return {r["node"]: r["community"] for r in got}
+
+
+def test_lpa_two_triangles_bridge(spark):
+    """Two triangles joined by one bridge edge settle into two
+    communities labeled by each triangle's min node id."""
+    edges = [("a", "b"), ("b", "c"), ("a", "c"),
+             ("x", "y"), ("y", "z"), ("x", "z"), ("c", "x")]
+    for it in (1, 2, 4):
+        expect = {str(k): str(v) for k, v in _py_lpa(edges, it).items()}
+        assert _run_lpa(spark, edges, it) == expect
+    final = _run_lpa(spark, edges, 4)
+    # two communities; the right triangle's settled label is the bridge
+    # endpoint 'c' (its label crosses the bridge in round 1 and wins
+    # the x-side tie-breaks — hand-traced, matches the oracle)
+    assert {final[n] for n in "abc"} == {"a"}
+    assert {final[n] for n in "xyz"} == {"c"}
+
+
+def test_lpa_single_edge_oscillates_deterministically(spark):
+    """Synchronous LPA on one edge swaps labels every round — the
+    bounded-round contract makes each depth well-defined; engine and
+    oracle agree at every depth."""
+    edges = [(1, 2)]
+    for it in (1, 2, 3):
+        expect = {str(k): str(v) for k, v in _py_lpa(edges, it).items()}
+        assert _run_lpa(spark, edges, it) == expect
+    assert _run_lpa(spark, edges, 1) == {"1": "2", "2": "1"}
+    assert _run_lpa(spark, edges, 2) == {"1": "1", "2": "2"}
+
+
+def test_lpa_direction_dedup_and_hub_guard(spark):
+    """Reversed/duplicate/self edges collapse before propagation; the
+    opt-in max_degree guard drops hub edges first (star center above
+    the cap -> every edge gone -> empty result), exact when None."""
+    edges = [(1, 2), (2, 1), (1, 1), (1, 3), (1, 4), (1, 5)]
+    expect = {str(k): str(v) for k, v in _py_lpa(edges, 2).items()}
+    assert _run_lpa(spark, edges, 2) == expect
+    assert _run_lpa(spark, edges, 2, max_degree=3) == {}
+
+
+def test_lpa_snapshots_match_per_round_runs(spark):
+    """The snapshots hook returns exactly the label frame each bounded
+    run would produce — the trajectory the contract query unions."""
+    from easyner_spark.ops.graph import label_propagation
+
+    edges = [("a", "b"), ("b", "c"), ("a", "c"),
+             ("x", "y"), ("y", "z"), ("x", "z"), ("c", "x")]
+    df = _edges(spark, edges)
+    snaps = []
+    label_propagation(df, iterations=3, snapshots=snaps)
+    assert len(snaps) == 3
+    for i, s in enumerate(snaps):
+        got = {r["node"]: r["label"] for r in s.collect()}
+        assert got == _py_lpa(edges, i + 1)
