@@ -461,6 +461,68 @@ def label_propagation(
     return labels.select("node", F.col("label").alias("community"))
 
 
+def bfs_hops(
+    edges: DataFrame,
+    sources: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    node: str = "node",
+    max_hops: int = 3,
+) -> DataFrame:
+    """Multi-source BFS → (node, hops BIGINT): minimum undirected hop
+    distance from ANY source node, up to ``max_hops``. The neighborhood
+    primitive behind "entities within k hops of this seed set" panels
+    and KG subgraph extraction; unreached nodes are absent (bounded
+    output, never NULL-padded to the full node set).
+
+    ``sources`` is a one-column frame (``node``); seeds not present in
+    the graph still appear at hops 0 (distance to itself is 0 whether
+    or not it has edges — documented semantics, mirrored in any SQL
+    twin via the plain UNION seed).
+
+    Plan: classic frontier expansion — per round ONE keyed hash join
+    (frontier ⋈ adjacency on the frontier node) and ONE anti-join
+    against the visited set, both localCheckpointed so lineage stays
+    flat. The frontier (not the graph) crosses the wire each round;
+    with the adjacency bucketed by ``u`` the join is co-located. Work
+    is Σ frontier-degree per round — output-bounded, never quadratic;
+    ``max_hops`` is the explicit web-scale bound (a 3-hop ball on a
+    small-world graph already touches most of it).
+
+    Reference has no graph ops (frequency ranking only,
+    Aitslab/EasyNER scripts/analysis.py); this generalizes its
+    entity-list lookups to neighborhood queries.
+    """
+    u = _undirected(edges, src, dst).localCheckpoint()
+    adj = (
+        u.select(F.col("a").alias("u"), F.col("b").alias("v"))
+        .union(u.select(F.col("b").alias("u"), F.col("a").alias("v")))
+        .localCheckpoint()
+    )
+    visited = (
+        sources.select(F.col(node).alias("node"))
+        .distinct()
+        .select("node", F.lit(0).cast("bigint").alias("hops"))
+        .localCheckpoint()
+    )
+    frontier = visited.select("node")
+    for h in range(1, max_hops + 1):
+        nxt = (
+            adj.join(frontier.withColumnRenamed("node", "u"), "u")
+            .select(F.col("v").alias("node"))
+            .distinct()
+            .join(visited.select("node"), "node", "left_anti")
+            .localCheckpoint()
+        )
+        if nxt.limit(1).count() == 0:
+            break
+        visited = visited.union(
+            nxt.select("node", F.lit(h).cast("bigint").alias("hops"))
+        ).localCheckpoint()
+        frontier = nxt
+    return visited
+
+
 def k_core(
     edges: DataFrame,
     k: int,

@@ -561,3 +561,60 @@ def test_lpa_snapshots_match_per_round_runs(spark):
     for i, s in enumerate(snaps):
         got = {r["node"]: r["label"] for r in s.collect()}
         assert got == _py_lpa(edges, i + 1)
+
+
+def _py_bfs(edges, sources, max_hops):
+    """Sequential multi-source BFS oracle on the undirected dedup."""
+    u = {tuple(sorted(e)) for e in edges if e[0] != e[1]}
+    adj = {}
+    for a, b in u:
+        adj.setdefault(a, set()).add(b)
+        adj.setdefault(b, set()).add(a)
+    dist = {s: 0 for s in sources}
+    frontier = set(sources)
+    for h in range(1, max_hops + 1):
+        frontier = {
+            v for n in frontier for v in adj.get(n, ()) if v not in dist
+        }
+        for v in frontier:
+            dist[v] = h
+        if not frontier:
+            break
+    return dist
+
+
+def _run_bfs(spark, edges, sources, max_hops):
+    from easyner_spark.ops.graph import bfs_hops
+
+    e = _edges(spark, [(str(a), str(b)) for a, b in edges])
+    s = spark.createDataFrame([(str(x),) for x in sources], "node string")
+    got = bfs_hops(e, s, max_hops=max_hops).collect()
+    return {r["node"]: r["hops"] for r in got}
+
+
+def test_bfs_single_source_chain(spark):
+    """Hop distances along a chain; max_hops truncates the reach."""
+    chain = [(i, i + 1) for i in range(1, 7)]
+    for mh in (1, 2, 3, 10):
+        expect = {str(k): v for k, v in _py_bfs(chain, {1}, mh).items()}
+        assert _run_bfs(spark, chain, {1}, mh) == expect
+    assert _run_bfs(spark, chain, {1}, 2) == {"1": 0, "2": 1, "3": 2}
+
+
+def test_bfs_multi_source_takes_min_distance(spark):
+    """Two seeds on a chain: every node gets the min distance to ANY
+    seed; the middle meets both frontiers."""
+    chain = [(i, i + 1) for i in range(1, 8)]
+    expect = {str(k): v for k, v in _py_bfs(chain, {1, 8}, 10).items()}
+    got = _run_bfs(spark, chain, {1, 8}, 10)
+    assert got == expect
+    assert got["4"] == 3 and got["5"] == 3  # met in the middle
+
+
+def test_bfs_isolated_seed_and_duplicate_edges(spark):
+    """A seed absent from the graph still reports hops 0; reversed and
+    duplicate edges collapse before expansion."""
+    edges = [(1, 2), (2, 1), (2, 3), (3, 3)]
+    expect = {str(k): v for k, v in _py_bfs(edges, {1}, 5).items()}
+    expect["99"] = 0  # isolated seed: distance to itself
+    assert _run_bfs(spark, edges, {1, 99}, 5) == expect
