@@ -2811,11 +2811,24 @@ def q_kg_graph_triangles(spark, sf_dir):
     )
 
 
+TWOHOP_TOPK_EDGES = 40
+
+
 @register(
     "kg_graph_two_hop",
-    _DEDGES_CTE
-    + """,
-adj AS (SELECT a AS u, b AS v FROM uedges UNION SELECT b, a FROM uedges),
+    _LINKED_CTE
+    + f""",
+wu AS (
+  SELECT least(src, dst) AS a, greatest(src, dst) AS b, SUM(w) AS w
+  FROM (SELECT a.ent_id AS src, b.ent_id AS dst, count(*) AS w
+        FROM linked a JOIN linked b
+          ON a.doc_id = b.doc_id AND a.sent_idx = b.sent_idx AND a.pos < b.pos
+        WHERE a.ent_id <> b.ent_id GROUP BY 1, 2)
+  GROUP BY 1, 2),
+bb AS (
+  SELECT a, b FROM wu
+  QUALIFY row_number() OVER (ORDER BY w DESC, a, b) <= {TWOHOP_TOPK_EDGES}),
+adj AS (SELECT a AS u, b AS v FROM bb UNION SELECT b, a FROM bb),
 paths AS (
   SELECT DISTINCT l.u AS u, r.v AS w
   FROM adj l JOIN adj r ON l.v = r.u
@@ -2829,11 +2842,34 @@ GROUP BY u
 )
 def q_kg_graph_two_hop(spark, sf_dir):
     """Distinct two-hop reach per entity (friends-of-friends expansion,
-    direct neighbors excluded via left_anti) — the related-entity /
-    link-prediction primitive. ops/graph.py:two_hop_reach."""
+    direct neighbors excluded via left_anti) over the BACKBONE graph —
+    the {TWOHOP_TOPK_EDGES} strongest co-occurrence edges by (weight
+    DESC, a, b). The raw 15-entity co-occurrence graph is COMPLETE at
+    every SF (every pair co-occurs somewhere), so two-hop-only pairs
+    don't exist and the r1–r4 gate matched on 0 rows — vacuous. A
+    top-K edge backbone is sparse at every SF by construction (and at
+    web scale a bounded backbone extraction is the operation you'd
+    actually run before neighborhood expansion); the rank is the
+    zero-single-partition two-phase rank, (w, a, b) unique so the
+    cut is deterministic. ops/graph.py:two_hop_reach."""
     from .ops.graph import two_hop_reach
 
-    return two_hop_reach(dedges(spark, sf_dir)).select(
+    we = wedges(spark, sf_dir)
+    wu = (
+        we.select(
+            F.least("src", "dst").alias("a"),
+            F.greatest("src", "dst").alias("b"),
+            "w",
+        )
+        .groupBy("a", "b")
+        .agg(F.sum("w").alias("w"))
+    )
+    backbone = (
+        _two_phase_rank(wu, "w", ["a", "b"])
+        .filter(F.col("rnk") <= TWOHOP_TOPK_EDGES)
+        .select(F.col("a").alias("src"), F.col("b").alias("dst"))
+    )
+    return two_hop_reach(backbone).select(
         F.col("node").alias("ent_id"), "n_two_hop"
     )
 
@@ -3998,21 +4034,29 @@ def q_search_bm25_lite(spark, sf_dir):
     "index_postings_rare",
     _TOKS_CTE
     + """,
-dt AS (SELECT DISTINCT token, doc_id FROM toks)
-SELECT token,
-       CAST(count(*) AS BIGINT) AS df,
-       string_agg(CAST(doc_id AS VARCHAR), ',' ORDER BY CAST(doc_id AS VARCHAR))
-         AS postings
-FROM dt GROUP BY token HAVING count(*) <= 20
+dt AS (SELECT DISTINCT token, doc_id FROM toks),
+agg AS (
+  SELECT token,
+         CAST(count(*) AS BIGINT) AS df,
+         string_agg(CAST(doc_id AS VARCHAR), ','
+                    ORDER BY CAST(doc_id AS VARCHAR)) AS postings
+  FROM dt GROUP BY token)
+SELECT token, df, postings
+FROM agg QUALIFY row_number() OVER (ORDER BY df, token) <= 20
 """,
 )
 def q_index_postings_rare(spark, sf_dir):
-    """Inverted-index posting lists for RARE terms (df ≤ 20): the
-    long-tail index shard a retrieval system materializes eagerly
-    (head terms stay as tf tables — an unbounded collect per stopword
-    would be the scale-killer, so the df cap is part of the operator's
-    contract, not a test convenience). One distinct + one token-keyed
-    agg; postings are sorted in-group, no global order."""
+    """Inverted-index posting lists for the 20 RAREST terms — bottom-k
+    by (df, token), the long-tail index shard a retrieval system
+    materializes eagerly (head terms stay as tf tables — an unbounded
+    collect per stopword would be the scale-killer, so the bounded-k
+    cap is part of the operator's contract). Rank-based rather than an
+    absolute df cap so the gate is NON-VACUOUS at every SF: the
+    synthetic corpus has no token with df ≤ 20 even at sf0.01, and a
+    0-row match checks nothing (r4 row was 0/0). One distinct + one
+    token-keyed agg; the bottom-k rank is the zero-single-partition
+    two-phase rank (ascending df via the negated key); postings are
+    sorted in-group, no global order."""
     t = tokens(spark, sf_dir)
     dt = t.select("token", "doc_id").distinct()
     agg = dt.groupBy("token").agg(
@@ -4021,7 +4065,10 @@ def q_index_postings_rare(spark, sf_dir):
             F.array_sort(F.collect_set(F.col("doc_id").cast("string"))), ","
         ).alias("postings"),
     )
-    return agg.filter(F.col("df") <= 20).select("token", "df", "postings")
+    ranked = _two_phase_rank(
+        agg.withColumn("_ndf", -F.col("df")), "_ndf", ["token"]
+    )
+    return ranked.filter(F.col("rnk") <= 20).select("token", "df", "postings")
 
 
 @register(
