@@ -185,6 +185,19 @@ def _undirected(edges: DataFrame, src: str, dst: str) -> DataFrame:
     )
 
 
+def _adjacency(u: DataFrame) -> DataFrame:
+    """Bidirectional (u, v) adjacency of an (a, b) undirected edge
+    frame, localCheckpointed — every neighborhood op consumes it from
+    multiple sides (self-joins, degree aggs, per-round keyed joins),
+    and Catalyst does not dedupe identical logical subtrees across a
+    fan-out."""
+    return (
+        u.select(F.col("a").alias("u"), F.col("b").alias("v"))
+        .union(u.select(F.col("b").alias("u"), F.col("a").alias("v")))
+        .localCheckpoint()
+    )
+
+
 def _degrees(u: DataFrame, node_col: str = "n", deg_col: str = "d") -> DataFrame:
     """Undirected degrees of an (a, b) edge frame — one map-side-partial
     agg over the unioned endpoints (union == UNION ALL in Spark, so
@@ -287,11 +300,7 @@ def node_jaccard(
     Exact when None.
     """
     u = _undirected(edges, src, dst).localCheckpoint()
-    adj = (
-        u.select(F.col("a").alias("u"), F.col("b").alias("v"))
-        .union(u.select(F.col("b").alias("u"), F.col("a").alias("v")))
-        .localCheckpoint()  # consumed by deg + both self-join sides
-    )
+    adj = _adjacency(u)  # consumed by deg + both self-join sides
     # deg fans out to up to three consumers (hub filter + both degree
     # dimensions) — materialize the aggregate once
     deg = (
@@ -354,11 +363,7 @@ def two_hop_reach(
     when None.
     """
     u0 = _undirected(edges, src, dst).localCheckpoint()  # upstream once
-    adj = (
-        u0.select(F.col("a").alias("u"), F.col("b").alias("v"))
-        .union(u0.select(F.col("b").alias("u"), F.col("a").alias("v")))
-        .localCheckpoint()  # reused by both self-join sides + anti-join
-    )
+    adj = _adjacency(u0)  # reused by both self-join sides + anti-join
     mid = adj
     if max_mid_degree is not None:
         deg = adj.groupBy(F.col("u").alias("m")).agg(F.count("*").alias("d"))
@@ -424,11 +429,7 @@ def label_propagation(
     u = _undirected(edges, src, dst).localCheckpoint()
     if max_degree is not None:
         u = _drop_hubs(u, max_degree).localCheckpoint()
-    adj = (
-        u.select(F.col("a").alias("u"), F.col("b").alias("v"))
-        .union(u.select(F.col("b").alias("u"), F.col("a").alias("v")))
-        .localCheckpoint()  # reused every round + seeds the label frame
-    )
+    adj = _adjacency(u)  # reused every round + seeds the label frame
     # nodes come from edges, so every node has >= 1 neighbor and the
     # per-round join covers every node — no coalesce branch needed
     labels = (
@@ -494,11 +495,7 @@ def bfs_hops(
     entity-list lookups to neighborhood queries.
     """
     u = _undirected(edges, src, dst).localCheckpoint()
-    adj = (
-        u.select(F.col("a").alias("u"), F.col("b").alias("v"))
-        .union(u.select(F.col("b").alias("u"), F.col("a").alias("v")))
-        .localCheckpoint()
-    )
+    adj = _adjacency(u)
     visited = (
         sources.select(F.col(node).alias("node"))
         .distinct()

@@ -2736,6 +2736,35 @@ def wedges(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Weighted UNDIRECTED co-occurrence edges (a, b, w), a < b — the shared
+# graph definition for the backbone / k-core / label-prop gates. ONE
+# body, interpolated into each oracle (plain or AS MATERIALIZED per the
+# consumer's CTE-inlining needs), so the self-loop filter and pos<pos
+# orientation cannot drift between gates.
+_WU_SQL = """
+  SELECT least(src, dst) AS a, greatest(src, dst) AS b, SUM(w) AS w
+  FROM (SELECT a.ent_id AS src, b.ent_id AS dst, count(*) AS w
+        FROM linked a JOIN linked b
+          ON a.doc_id = b.doc_id AND a.sent_idx = b.sent_idx AND a.pos < b.pos
+        WHERE a.ent_id <> b.ent_id GROUP BY 1, 2)
+  GROUP BY 1, 2"""
+
+
+def wuedges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark twin of _WU_SQL: wedges folded over least/greatest with
+    summed weights — (a, b, w), a < b."""
+    return (
+        wedges(spark, sf_dir)
+        .select(
+            F.least("src", "dst").alias("a"),
+            F.greatest("src", "dst").alias("b"),
+            "w",
+        )
+        .groupBy("a", "b")
+        .agg(F.sum("w").alias("w"))
+    )
+
+
 def _pagerank_oracle(iters: int) -> str:
     """Unrolled fixed-point PageRank in ANSI SQL (DuckDB lacks aggregates
     in recursive CTE terms, so the fixed iteration count is unrolled —
@@ -2818,13 +2847,7 @@ TWOHOP_TOPK_EDGES = 40
     "kg_graph_two_hop",
     _LINKED_CTE
     + f""",
-wu AS (
-  SELECT least(src, dst) AS a, greatest(src, dst) AS b, SUM(w) AS w
-  FROM (SELECT a.ent_id AS src, b.ent_id AS dst, count(*) AS w
-        FROM linked a JOIN linked b
-          ON a.doc_id = b.doc_id AND a.sent_idx = b.sent_idx AND a.pos < b.pos
-        WHERE a.ent_id <> b.ent_id GROUP BY 1, 2)
-  GROUP BY 1, 2),
+wu AS ({_WU_SQL}),
 bb AS (
   SELECT a, b FROM wu
   QUALIFY row_number() OVER (ORDER BY w DESC, a, b) <= {TWOHOP_TOPK_EDGES}),
@@ -2843,7 +2866,7 @@ GROUP BY u
 def q_kg_graph_two_hop(spark, sf_dir):
     """Distinct two-hop reach per entity (friends-of-friends expansion,
     direct neighbors excluded via left_anti) over the BACKBONE graph —
-    the {TWOHOP_TOPK_EDGES} strongest co-occurrence edges by (weight
+    the TWOHOP_TOPK_EDGES strongest co-occurrence edges by (weight
     DESC, a, b). The raw 15-entity co-occurrence graph is COMPLETE at
     every SF (every pair co-occurs somewhere), so two-hop-only pairs
     don't exist and the r1–r4 gate matched on 0 rows — vacuous. A
@@ -2854,18 +2877,8 @@ def q_kg_graph_two_hop(spark, sf_dir):
     cut is deterministic. ops/graph.py:two_hop_reach."""
     from .ops.graph import two_hop_reach
 
-    we = wedges(spark, sf_dir)
-    wu = (
-        we.select(
-            F.least("src", "dst").alias("a"),
-            F.greatest("src", "dst").alias("b"),
-            "w",
-        )
-        .groupBy("a", "b")
-        .agg(F.sum("w").alias("w"))
-    )
     backbone = (
-        _two_phase_rank(wu, "w", ["a", "b"])
+        _two_phase_rank(wuedges(spark, sf_dir), "w", ["a", "b"])
         .filter(F.col("rnk") <= TWOHOP_TOPK_EDGES)
         .select(F.col("a").alias("src"), F.col("b").alias("dst"))
     )
@@ -5232,13 +5245,7 @@ def _kcore_oracle() -> str:
     upstream linked-subtree 3^rounds times (observed as a too-many-
     open-files parquet-scan explosion)."""
     ctes = [
-        f"""wu AS MATERIALIZED (
-  SELECT least(src, dst) AS a, greatest(src, dst) AS b, SUM(w) AS w
-  FROM (SELECT a.ent_id AS src, b.ent_id AS dst, count(*) AS w
-        FROM linked a JOIN linked b
-          ON a.doc_id = b.doc_id AND a.sent_idx = b.sent_idx AND a.pos < b.pos
-        WHERE a.ent_id <> b.ent_id GROUP BY 1, 2)
-  GROUP BY 1, 2),
+        f"""wu AS MATERIALIZED ({_WU_SQL}),
 u0 AS MATERIALIZED (SELECT a, b FROM wu WHERE w >= {KCORE_MIN_W})"""
     ]
     for i in range(KCORE_ROUNDS):
@@ -5279,17 +5286,7 @@ def q_kg_graph_kcore(spark, sf_dir):
     the honest bound, not a hidden truncation."""
     from .ops.graph import k_core
 
-    we = wedges(spark, sf_dir)
-    wu = (
-        we.select(
-            F.least("src", "dst").alias("a"),
-            F.greatest("src", "dst").alias("b"),
-            "w",
-        )
-        .groupBy("a", "b")
-        .agg(F.sum("w").alias("w"))
-    )
-    strong = wu.filter(F.col("w") >= KCORE_MIN_W).select(
+    strong = wuedges(spark, sf_dir).filter(F.col("w") >= KCORE_MIN_W).select(
         F.col("a").alias("src"), F.col("b").alias("dst")
     )
     return k_core(strong, k=KCORE_K, max_iter=KCORE_ROUNDS).select(
@@ -5311,13 +5308,7 @@ def _label_prop_oracle() -> str:
     default-inlines CTEs and an unrolled chain explodes exponentially
     otherwise)."""
     ctes = [
-        f"""wu AS MATERIALIZED (
-  SELECT least(src, dst) AS a, greatest(src, dst) AS b, SUM(w) AS w
-  FROM (SELECT a.ent_id AS src, b.ent_id AS dst, count(*) AS w
-        FROM linked a JOIN linked b
-          ON a.doc_id = b.doc_id AND a.sent_idx = b.sent_idx AND a.pos < b.pos
-        WHERE a.ent_id <> b.ent_id GROUP BY 1, 2)
-  GROUP BY 1, 2),
+        f"""wu AS MATERIALIZED ({_WU_SQL}),
 adj AS MATERIALIZED (
   SELECT a AS u, b AS v FROM wu WHERE w >= {LP_MIN_W}
   UNION ALL
@@ -5346,13 +5337,13 @@ l{i} AS MATERIALIZED (
 def q_kg_graph_label_prop(spark, sf_dir):
     """Community detection over the strong co-occurrence graph
     (undirected pair weight ≥ LP_MIN_W): deterministic synchronous
-    label propagation, {LP_ROUNDS} fixed rounds — the near-linear
+    label propagation, LP_ROUNDS fixed rounds — the near-linear
     community detector, made cross-engine exact by the synchronous
     update + min-label tie order (no RNG, no vertex ordering, no
     floats; see ops/graph.py::label_propagation for the per-round plan
     shape: one keyed join + one single-pass struct argmax agg,
     localCheckpoint per round). The contract output is the FULL
-    trajectory (rnd, ent_id, community) for rounds 1..{LP_ROUNDS} —
+    trajectory (rnd, ent_id, community) for rounds 1..LP_ROUNDS —
     the dense synthetic graph converges by round 2, so the fixpoint
     alone would under-discriminate; pinning every intermediate round
     checks the argmax/tie dynamics themselves. Scalar columns only,
@@ -5361,17 +5352,7 @@ def q_kg_graph_label_prop(spark, sf_dir):
     nothing."""
     from .ops.graph import label_propagation
 
-    we = wedges(spark, sf_dir)
-    wu = (
-        we.select(
-            F.least("src", "dst").alias("a"),
-            F.greatest("src", "dst").alias("b"),
-            "w",
-        )
-        .groupBy("a", "b")
-        .agg(F.sum("w").alias("w"))
-    )
-    strong = wu.filter(F.col("w") >= LP_MIN_W).select(
+    strong = wuedges(spark, sf_dir).filter(F.col("w") >= LP_MIN_W).select(
         F.col("a").alias("src"), F.col("b").alias("dst")
     )
     snaps: list[DataFrame] = []
@@ -5528,6 +5509,14 @@ _DRIVER_WINDOWS: dict[int, list[str]] = {
         # invariant still covers it via the previous window)
         "kg_graph_label_prop",
     ],
+    # ROUND 6 NOTE: kg_graph_two_hop and index_postings_rare were
+    # de-vacuoused late in round 5 (backbone / bottom-k semantics);
+    # their r4 driver rows gated the OLD vacuous outputs, and window 5
+    # was already saturated (|w4 ∪ w5| == all 99 registered queries, so
+    # no eviction candidate existed). The union invariant FORCES both
+    # into window 6 — their last row will be two rounds old — which is
+    # when the rewritten semantics first meet the driver. Until then
+    # they are covered by the local cell-exact sweep at sf0.001/0.01.
 }
 
 _DRIVER_ROUND = max(_DRIVER_WINDOWS)
