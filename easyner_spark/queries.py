@@ -5372,6 +5372,94 @@ def q_kg_graph_label_prop(spark, sf_dir):
 
 
 # ---------------------------------------------------------------------------
+# pending round-6 registrations
+# ---------------------------------------------------------------------------
+# Window 5 is saturated (see the _DRIVER_WINDOWS round-6 note), so these
+# contract pairs are oracle-gated by the LOCAL sweep only this round
+# (tests/test_queries_oracle.py::test_pending_r6_queries_match_duckdb)
+# and move into the registry + window 6 with a one-line register() call
+# next round. Same shape rules as registered queries: scalar columns,
+# integer-exact arithmetic, shared graph definition (_WU_SQL/wuedges).
+
+BFS_N_SEEDS = 2
+BFS_MAX_HOPS = 3
+
+
+def _bfs_hops_oracle() -> str:
+    """Unrolled multi-source BFS over the top-K co-occurrence backbone
+    (DuckDB cannot aggregate inside a recursive CTE term, same
+    constraint as _pagerank_oracle / _kcore_oracle). Seeds are the
+    BFS_N_SEEDS smallest backbone node ids (deterministic, collation-
+    safe on ASCII ent_ids). A round with an empty frontier adds
+    nothing, so the engine's early break is bit-identical to the full
+    unroll. Every CTE is AS MATERIALIZED (DuckDB default-inlines CTEs;
+    a chain referencing predecessors explodes exponentially)."""
+    ctes = [
+        f"""wu AS MATERIALIZED ({_WU_SQL}),
+bb AS MATERIALIZED (
+  SELECT a, b FROM wu
+  QUALIFY row_number() OVER (ORDER BY w DESC, a, b) <= {TWOHOP_TOPK_EDGES}),
+adj AS MATERIALIZED (SELECT a AS u, b AS v FROM bb UNION ALL SELECT b, a FROM bb),
+f0 AS MATERIALIZED (
+  SELECT node FROM (SELECT a AS node FROM bb UNION SELECT b FROM bb)
+  ORDER BY node LIMIT {BFS_N_SEEDS}),
+v0 AS MATERIALIZED (SELECT node, CAST(0 AS BIGINT) AS hops FROM f0)"""
+    ]
+    for h in range(1, BFS_MAX_HOPS + 1):
+        ctes.append(
+            f"""f{h} AS MATERIALIZED (
+  SELECT DISTINCT a.v AS node
+  FROM adj a JOIN f{h - 1} f ON a.u = f.node
+  WHERE a.v NOT IN (SELECT node FROM v{h - 1})),
+v{h} AS MATERIALIZED (
+  SELECT node, hops FROM v{h - 1}
+  UNION ALL SELECT node, CAST({h} AS BIGINT) AS hops FROM f{h})"""
+        )
+    return (
+        _LINKED_CTE
+        + ",\n"
+        + ",\n".join(ctes)
+        + f"\nSELECT node AS ent_id, hops FROM v{BFS_MAX_HOPS}"
+    )
+
+
+def _q_kg_graph_bfs_hops(spark, sf_dir):
+    """Minimum hop distance from the BFS_N_SEEDS lexicographically
+    smallest backbone entities to every entity within BFS_MAX_HOPS,
+    over the TWOHOP_TOPK_EDGES-strongest-edge backbone (the raw
+    15-entity co-occurrence graph is complete, so BFS over it is
+    vacuous — every node sits at hops <= 1; the sparse backbone is
+    both the discriminating contract and the operation a web-scale
+    neighborhood panel actually runs). Frontier expansion engine op:
+    ops/graph.py:bfs_hops."""
+    from .ops.graph import bfs_hops
+
+    backbone = (
+        _two_phase_rank(wuedges(spark, sf_dir), "w", ["a", "b"])
+        .filter(F.col("rnk") <= TWOHOP_TOPK_EDGES)
+        .select(F.col("a").alias("src"), F.col("b").alias("dst"))
+        .localCheckpoint()  # consumed by the seed pick + the BFS itself
+    )
+    nodes = (
+        backbone.select(F.col("src").alias("node"))
+        .union(backbone.select(F.col("dst").alias("node")))
+        .distinct()
+    )
+    seeds = nodes.orderBy("node").limit(BFS_N_SEEDS)
+    return bfs_hops(backbone, seeds, max_hops=BFS_MAX_HOPS).select(
+        F.col("node").alias("ent_id"), "hops"
+    )
+
+
+# name -> (query fn, oracle sql); registered into QUERIES/ORACLES +
+# window 6 next round, alongside the forced kg_graph_two_hop /
+# index_postings_rare re-gates.
+PENDING_R6: dict = {
+    "kg_graph_bfs_hops": (_q_kg_graph_bfs_hops, _bfs_hops_oracle()),
+}
+
+
+# ---------------------------------------------------------------------------
 # driver-gate ordering
 # ---------------------------------------------------------------------------
 # The round driver checks the FIRST 50 registry entries against their
