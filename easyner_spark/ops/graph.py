@@ -406,10 +406,15 @@ def label_propagation(
     honest cross-engine semantic, as with pagerank/k_core above).
 
     Per round the plan is ONE shuffled hash join (adjacency ⋈ labels on
-    the neighbor id) feeding ONE two-level aggregate: the argmax
-    ((max count, min label)) is computed as ``min(struct(-c, label))``
-    — a single map-side-partial agg keyed by node, no window, no second
-    shuffle. localCheckpoint per round keeps lineage flat. With the
+    the neighbor id) feeding a two-level aggregate: counts keyed by
+    (node, label), then the argmax ((max count, min label)) as
+    ``min(struct(-c, label))`` keyed by node — no window. Each level is
+    partial+final, so the two post-join exchanges carry only combined
+    partials (≤ one row per (node, label) resp. per node per map task),
+    not the joined edge frame; that beats pre-aggregation
+    ``repartition(node)`` (which would move every joined edge row to
+    save the second, tiny exchange). localCheckpoint per round keeps
+    lineage flat. With the
     adjacency bucketed by ``v`` only the one-row-per-node label frame
     crosses the wire each round. ``max_degree`` (opt-in, exact when
     None) drops super-hub edges first — the usual stopword-entity

@@ -2842,16 +2842,32 @@ def q_kg_graph_triangles(spark, sf_dir):
 
 TWOHOP_TOPK_EDGES = 40
 
+# The top-K co-occurrence backbone, defined ONCE per engine (same
+# anti-drift rule as _WU_SQL/wuedges): the TWOHOP_TOPK_EDGES strongest
+# edges by (weight DESC, a, b) — (w, a, b) is unique, so the cut is
+# deterministic. Shared by kg_graph_two_hop and kg_graph_bfs_hops.
+_BB_SQL = f"""SELECT a, b FROM wu
+  QUALIFY row_number() OVER (ORDER BY w DESC, a, b) <= {TWOHOP_TOPK_EDGES}"""
+
+
+def backbone(spark, sf_dir):
+    """Top-K strongest co-occurrence edges as (src, dst) — the Spark
+    twin of _BB_SQL, built on the zero-single-partition two-phase
+    rank. Shared by the two-hop and BFS contract queries."""
+    return (
+        _two_phase_rank(wuedges(spark, sf_dir), "w", ["a", "b"])
+        .filter(F.col("rnk") <= TWOHOP_TOPK_EDGES)
+        .select(F.col("a").alias("src"), F.col("b").alias("dst"))
+    )
+
 
 @register(
     "kg_graph_two_hop",
     _LINKED_CTE
     + f""",
-wu AS ({_WU_SQL}),
-bb AS (
-  SELECT a, b FROM wu
-  QUALIFY row_number() OVER (ORDER BY w DESC, a, b) <= {TWOHOP_TOPK_EDGES}),
-adj AS (SELECT a AS u, b AS v FROM bb UNION SELECT b, a FROM bb),
+wu AS MATERIALIZED ({_WU_SQL}),
+bb AS MATERIALIZED ({_BB_SQL}),
+adj AS MATERIALIZED (SELECT a AS u, b AS v FROM bb UNION SELECT b, a FROM bb),
 paths AS (
   SELECT DISTINCT l.u AS u, r.v AS w
   FROM adj l JOIN adj r ON l.v = r.u
@@ -2877,12 +2893,7 @@ def q_kg_graph_two_hop(spark, sf_dir):
     cut is deterministic. ops/graph.py:two_hop_reach."""
     from .ops.graph import two_hop_reach
 
-    backbone = (
-        _two_phase_rank(wuedges(spark, sf_dir), "w", ["a", "b"])
-        .filter(F.col("rnk") <= TWOHOP_TOPK_EDGES)
-        .select(F.col("a").alias("src"), F.col("b").alias("dst"))
-    )
-    return two_hop_reach(backbone).select(
+    return two_hop_reach(backbone(spark, sf_dir)).select(
         F.col("node").alias("ent_id"), "n_two_hop"
     )
 
@@ -5396,9 +5407,7 @@ def _bfs_hops_oracle() -> str:
     a chain referencing predecessors explodes exponentially)."""
     ctes = [
         f"""wu AS MATERIALIZED ({_WU_SQL}),
-bb AS MATERIALIZED (
-  SELECT a, b FROM wu
-  QUALIFY row_number() OVER (ORDER BY w DESC, a, b) <= {TWOHOP_TOPK_EDGES}),
+bb AS MATERIALIZED ({_BB_SQL}),
 adj AS MATERIALIZED (SELECT a AS u, b AS v FROM bb UNION ALL SELECT b, a FROM bb),
 f0 AS MATERIALIZED (
   SELECT node FROM (SELECT a AS node FROM bb UNION SELECT b FROM bb)
@@ -5434,19 +5443,15 @@ def _q_kg_graph_bfs_hops(spark, sf_dir):
     ops/graph.py:bfs_hops."""
     from .ops.graph import bfs_hops
 
-    backbone = (
-        _two_phase_rank(wuedges(spark, sf_dir), "w", ["a", "b"])
-        .filter(F.col("rnk") <= TWOHOP_TOPK_EDGES)
-        .select(F.col("a").alias("src"), F.col("b").alias("dst"))
-        .localCheckpoint()  # consumed by the seed pick + the BFS itself
-    )
+    # consumed by the seed pick + the BFS itself -> materialize once
+    bb = backbone(spark, sf_dir).localCheckpoint()
     nodes = (
-        backbone.select(F.col("src").alias("node"))
-        .union(backbone.select(F.col("dst").alias("node")))
+        bb.select(F.col("src").alias("node"))
+        .union(bb.select(F.col("dst").alias("node")))
         .distinct()
     )
     seeds = nodes.orderBy("node").limit(BFS_N_SEEDS)
-    return bfs_hops(backbone, seeds, max_hops=BFS_MAX_HOPS).select(
+    return bfs_hops(bb, seeds, max_hops=BFS_MAX_HOPS).select(
         F.col("node").alias("ent_id"), "hops"
     )
 
