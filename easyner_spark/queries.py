@@ -20,6 +20,7 @@ Cross-engine determinism rules used throughout (see tests):
 
 from __future__ import annotations
 
+import functools
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession, Window as W, functions as F
@@ -2850,6 +2851,19 @@ _BB_SQL = f"""SELECT a, b FROM wu
   QUALIFY row_number() OVER (ORDER BY w DESC, a, b) <= {TWOHOP_TOPK_EDGES}"""
 
 
+def _adj_sql(src: str, where: str = "") -> str:
+    """Undirected adjacency expansion of an (a, b) edge CTE, defined
+    once (same anti-drift rule as _WU_SQL/_BB_SQL — shared by the
+    two-hop, node-Jaccard, label-prop and BFS oracles). Every caller's
+    edge set is DISTINCT with a < b strictly, so the reversed copy is
+    disjoint and UNION ALL equals UNION DISTINCT at half the cost."""
+    w = f" WHERE {where}" if where else ""
+    return (
+        f"SELECT a AS u, b AS v FROM {src}{w}"
+        f" UNION ALL SELECT b AS u, a AS v FROM {src}{w}"
+    )
+
+
 def backbone(spark, sf_dir):
     """Top-K strongest co-occurrence edges as (src, dst) — the Spark
     twin of _BB_SQL, built on the zero-single-partition two-phase
@@ -2867,7 +2881,7 @@ def backbone(spark, sf_dir):
     + f""",
 wu AS MATERIALIZED ({_WU_SQL}),
 bb AS MATERIALIZED ({_BB_SQL}),
-adj AS MATERIALIZED (SELECT a AS u, b AS v FROM bb UNION SELECT b, a FROM bb),
+adj AS MATERIALIZED ({_adj_sql("bb")}),
 paths AS (
   SELECT DISTINCT l.u AS u, r.v AS w
   FROM adj l JOIN adj r ON l.v = r.u
@@ -4098,8 +4112,8 @@ def q_index_postings_rare(spark, sf_dir):
 @register(
     "kg_graph_node_jaccard",
     _DEDGES_CTE
-    + """,
-adj AS (SELECT a AS u, b AS v FROM uedges UNION SELECT b, a FROM uedges),
+    + f""",
+adj AS ({_adj_sql("uedges")}),
 deg AS (SELECT u, CAST(count(*) AS BIGINT) AS d FROM adj GROUP BY u),
 pairs AS (
   SELECT l.u AS ent_a, r.u AS ent_b, CAST(count(*) AS BIGINT) AS n_common
@@ -5320,10 +5334,7 @@ def _label_prop_oracle() -> str:
     otherwise)."""
     ctes = [
         f"""wu AS MATERIALIZED ({_WU_SQL}),
-adj AS MATERIALIZED (
-  SELECT a AS u, b AS v FROM wu WHERE w >= {LP_MIN_W}
-  UNION ALL
-  SELECT b AS u, a AS v FROM wu WHERE w >= {LP_MIN_W}),
+adj AS MATERIALIZED ({_adj_sql("wu", f"w >= {LP_MIN_W}")}),
 l0 AS MATERIALIZED (SELECT DISTINCT u AS node, u AS label FROM adj)"""
     ]
     for i in range(1, LP_ROUNDS + 1):
@@ -5376,10 +5387,7 @@ def q_kg_graph_label_prop(spark, sf_dir):
         )
         for i, s in enumerate(snaps)
     ]
-    out = rounds[0]
-    for r in rounds[1:]:
-        out = out.union(r)
-    return out
+    return functools.reduce(DataFrame.union, rounds)
 
 
 # ---------------------------------------------------------------------------
@@ -5408,7 +5416,7 @@ def _bfs_hops_oracle() -> str:
     ctes = [
         f"""wu AS MATERIALIZED ({_WU_SQL}),
 bb AS MATERIALIZED ({_BB_SQL}),
-adj AS MATERIALIZED (SELECT a AS u, b AS v FROM bb UNION ALL SELECT b, a FROM bb),
+adj AS MATERIALIZED ({_adj_sql("bb")}),
 f0 AS MATERIALIZED (
   SELECT node FROM (SELECT a AS node FROM bb UNION SELECT b FROM bb)
   ORDER BY node LIMIT {BFS_N_SEEDS}),

@@ -26,10 +26,12 @@ WORKER = r"""
 import hashlib, json, sys
 master, shuffle, sf_dir, out_path = sys.argv[1:5]
 from easyner_spark.session import get_spark
-from easyner_spark.queries import QUERIES
+from easyner_spark.queries import PENDING_R6, QUERIES
 spark = get_spark(master=master, shuffle_partitions=int(shuffle), app_name="det")
+# pending next-round registrations meet the driver eventually; sweep them now
+todo = dict(QUERIES, **{n: fn for n, (fn, _sql) in PENDING_R6.items()})
 out = {}
-for name, fn in sorted(QUERIES.items()):
+for name, fn in sorted(todo.items()):
     df = fn(spark, sf_dir)
     cols = sorted(df.columns)
     rows = sorted(tuple(repr(r[c]) for c in cols) for r in df.collect())
