@@ -270,6 +270,61 @@ def triangles(
     )
 
 
+def clustering_coefficient(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    max_degree: int | None = None,
+    scale: int = 1_000_000,
+) -> DataFrame:
+    """Per-node local clustering coefficient → (node, degree,
+    n_triangles, cc_ppm), all BIGINT.
+
+    cc = 2·triangles(n) / (deg(n)·(deg(n)−1)), emitted as the exact
+    integer ``2 * n_triangles * scale div (d * (d-1))`` (cross-engine
+    float rule: quantize, never divide doubles). Degree-1 nodes have
+    no possible wedge — cc_ppm = 0. Triangle-free nodes are kept
+    (left join → 0), unlike ``triangles`` which omits them: the
+    coefficient is a per-node profile, absence would read as NULL
+    quality, not zero clustering.
+
+    Scale: the wedge closure is the only quadratic piece and is
+    inherited from ``triangles`` (lowest-corner orientation bounds
+    fan-out by oriented degree); the degree agg is map-side partial
+    and the final join is on node — both sides already keyed. The
+    hub cap applies to the SAME canonical edge frame used for both
+    triangles and degrees, so capped mode is self-consistent (a
+    coefficient over full degrees but hub-dropped triangles would be
+    meaningless).
+
+    Reference parity: EasyNER has no graph analytics; this extends
+    the co-occurrence analysis family (reference scripts/analysis.py)
+    the same way pagerank/k_core do.
+    """
+    u = _undirected(edges, src, dst).localCheckpoint()
+    if max_degree is not None:
+        u = _drop_hubs(u, max_degree).localCheckpoint()
+    tri = triangles(u, src="a", dst="b")
+    deg = _degrees(u, node_col="node", deg_col="degree")
+    return (
+        deg.join(tri, "node", "left")
+        .select(
+            "node",
+            F.col("degree").cast("bigint").alias("degree"),
+            F.coalesce("n_triangles", F.lit(0)).cast("bigint").alias("n_triangles"),
+            # 2·tri·scale in DECIMAL(38,0): a BIGINT product would
+            # overflow past ~4.6e12 triangles/node under ANSI (same
+            # guard as the weighted-pagerank contrib); the quotient
+            # is ≤ scale so the final BIGINT cast is always safe
+            F.expr(
+                f"CAST(CASE WHEN degree >= 2 THEN"
+                f" CAST(2 AS DECIMAL(38,0)) * coalesce(n_triangles, 0)"
+                f" * {scale} div (degree * (degree - 1)) ELSE 0 END AS BIGINT)"
+            ).alias("cc_ppm"),
+        )
+    )
+
+
 def node_jaccard(
     edges: DataFrame,
     src: str = "src",

@@ -5464,11 +5464,105 @@ def _q_kg_graph_bfs_hops(spark, sf_dir):
     )
 
 
+_CLUSTERING_ORACLE = (
+    _LINKED_CTE
+    + f""",
+wu AS MATERIALIZED ({_WU_SQL}),
+bb AS MATERIALIZED ({_BB_SQL}),
+tris AS MATERIALIZED (
+  SELECT e1.a AS x, e1.b AS y, e2.b AS z
+  FROM bb e1 JOIN bb e2 ON e1.b = e2.a
+             JOIN bb e3 ON e3.a = e1.a AND e3.b = e2.b),
+tcnt AS MATERIALIZED (
+  SELECT node, count(*) AS t FROM (
+    SELECT x AS node FROM tris
+    UNION ALL SELECT y FROM tris
+    UNION ALL SELECT z FROM tris) GROUP BY node),
+deg AS MATERIALIZED (
+  SELECT node, count(*) AS d FROM (
+    SELECT a AS node FROM bb UNION ALL SELECT b FROM bb) GROUP BY node)
+SELECT d.node AS ent_id, CAST(d.d AS BIGINT) AS degree,
+       CAST(COALESCE(t.t, 0) AS BIGINT) AS n_triangles,
+       CAST(CASE WHEN d.d >= 2
+                 THEN CAST(2 AS HUGEINT) * COALESCE(t.t, 0) * 1000000
+                      // (d.d * (d.d - 1))
+                 ELSE 0 END AS BIGINT) AS cc_ppm
+FROM deg d LEFT JOIN tcnt t ON d.node = t.node
+"""
+)
+
+
+def _q_kg_graph_clustering(spark, sf_dir):
+    """Per-node local clustering coefficient over the top-K
+    co-occurrence backbone (the raw graph is complete at every SF —
+    cc would be uniformly 1e6, vacuous; the sparse backbone makes the
+    coefficient discriminate). Exact integer ppm: 2·tri·1e6 div
+    d·(d−1), DECIMAL(38,0) product in the engine, HUGEINT in the
+    oracle — DuckDB's DECIMAL // ROUNDS where Spark's div floors, a
+    parity trap; HUGEINT // floors (same fix as the weighted-pagerank
+    contrib). Engine op: ops/graph.py::clustering_coefficient."""
+    from .ops.graph import clustering_coefficient
+
+    return clustering_coefficient(backbone(spark, sf_dir)).select(
+        F.col("node").alias("ent_id"), "degree", "n_triangles", "cc_ppm"
+    )
+
+
+_TRANSITIONS_ORACLE = """
+WITH seq AS (
+  SELECT event_type AS src_type,
+         LEAD(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+           AS dst_type
+  FROM events),
+cnt AS (
+  SELECT src_type, dst_type, CAST(count(*) AS BIGINT) AS n
+  FROM seq WHERE dst_type IS NOT NULL GROUP BY 1, 2)
+SELECT src_type, dst_type, n,
+       CAST(n * 1000000 // SUM(n) OVER (PARTITION BY src_type) AS BIGINT)
+         AS p_ppm
+FROM cnt
+"""
+
+
+def _q_events_type_transitions(spark, sf_dir):
+    """Per-user event-type transition matrix (first-order Markov
+    counts + exact row-ppm shares): lead() over the per-user stream
+    ordered by (ts, event_id) — event_id breaks timestamp ties, so
+    the order is total and the contract deterministic (same total
+    order as events_latest_per_user / events_sessionize). Scale: one
+    shuffle by user_id for the lead window (the standard
+    sessionization partitioning — user streams fit an executor), a
+    map-side-partial count to ~|types|² rows, then a tiny partitioned
+    window for the denominators; all integer arithmetic, BIGINT-safe
+    (n·1e6 ≤ 9.2e18 for any feasible event count per type pair)."""
+    e = _read(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = e.select(
+        F.col("event_type").alias("src_type"),
+        F.lead("event_type").over(w).alias("dst_type"),
+    )
+    cnt = (
+        seq.filter(F.col("dst_type").isNotNull())
+        .groupBy("src_type", "dst_type")
+        .agg(F.count("*").cast("bigint").alias("n"))
+    )
+    return cnt.withColumn(
+        "tot", F.sum("n").over(W.partitionBy("src_type"))
+    ).select(
+        "src_type",
+        "dst_type",
+        "n",
+        F.expr("CAST(n * 1000000 div tot AS BIGINT)").alias("p_ppm"),
+    )
+
+
 # name -> (query fn, oracle sql); registered into QUERIES/ORACLES +
 # window 6 next round, alongside the forced kg_graph_two_hop /
 # index_postings_rare re-gates.
 PENDING_R6: dict = {
     "kg_graph_bfs_hops": (_q_kg_graph_bfs_hops, _bfs_hops_oracle()),
+    "kg_graph_clustering": (_q_kg_graph_clustering, _CLUSTERING_ORACLE),
+    "events_type_transitions": (_q_events_type_transitions, _TRANSITIONS_ORACLE),
 }
 
 

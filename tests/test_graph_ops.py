@@ -618,3 +618,55 @@ def test_bfs_isolated_seed_and_duplicate_edges(spark):
     expect = {str(k): v for k, v in _py_bfs(edges, {1}, 5).items()}
     expect["99"] = 0  # isolated seed: distance to itself
     assert _run_bfs(spark, edges, {1, 99}, 5) == expect
+
+
+def test_clustering_coefficient_hand_computed(spark):
+    """Kite graph: triangle A-B-C plus pendant edge C-D.
+    deg A=2 B=2 C=3 D=1; tri A=B=C=1, D=0.
+    cc = 2*tri*1e6 div d*(d-1): A,B -> 1e6; C -> 2e6 div 6 = 333333;
+    D -> 0 (degree-1 nodes kept, not dropped)."""
+    from easyner_spark.ops.graph import clustering_coefficient
+
+    e = _edges(spark, [("A", "B"), ("B", "C"), ("C", "A"), ("C", "D")])
+    got = {
+        r["node"]: (r["degree"], r["n_triangles"], r["cc_ppm"])
+        for r in clustering_coefficient(e).collect()
+    }
+    assert got == {
+        "A": (2, 1, 1_000_000),
+        "B": (2, 1, 1_000_000),
+        "C": (3, 1, 333_333),
+        "D": (1, 0, 0),
+    }
+
+
+def test_clustering_coefficient_direction_dedup_and_hub_cap(spark):
+    """Reversed/duplicate edges collapse before counting; the hub cap
+    removes the hub's edges from BOTH triangles and degrees (self-
+    consistent graph), so its spokes lose the hub-mediated triangle
+    AND the hub-incident degree."""
+    from easyner_spark.ops.graph import clustering_coefficient
+
+    # H is a degree-4 hub closing triangles with (A,B) and (B,C)
+    e = _edges(
+        spark,
+        [("A", "B"), ("B", "A"), ("B", "C"),
+         ("H", "A"), ("A", "H"), ("H", "B"), ("H", "C"), ("H", "D")],
+    )
+    full = {
+        r["node"]: (r["degree"], r["n_triangles"], r["cc_ppm"])
+        for r in clustering_coefficient(e).collect()
+    }
+    assert full["H"] == (4, 2, 333_333)  # 2*2e6 div 12
+    assert full["B"] == (3, 2, 666_666)
+    capped = {
+        r["node"]: (r["degree"], r["n_triangles"], r["cc_ppm"])
+        for r in clustering_coefficient(e, max_degree=3).collect()
+    }
+    # hub edges dropped: remaining graph is the path A-B-C
+    assert "H" not in capped
+    assert capped == {
+        "A": (1, 0, 0),
+        "B": (2, 0, 0),
+        "C": (1, 0, 0),
+    }
