@@ -4820,10 +4820,29 @@ WPAGERANK_ITERS = 3
 WPR_SCALE = 10**9  # final per-node rank must fit int64 (products are wide)
 
 
-def _weighted_pagerank_oracle(iters: int, scale: int) -> str:
+_KG_WEDGES_SQL = """
+  SELECT a.ent_id AS src, b.ent_id AS dst, CAST(count(*) AS BIGINT) AS w
+  FROM linked a JOIN linked b
+    ON a.doc_id = b.doc_id AND a.sent_idx = b.sent_idx AND a.pos < b.pos
+  WHERE a.ent_id <> b.ent_id
+  GROUP BY a.ent_id, b.ent_id"""
+
+
+def _weighted_pagerank_oracle(
+    iters: int,
+    scale: int,
+    prefix: str | None = None,
+    wedges_sql: str = _KG_WEDGES_SQL,
+    key_alias: str = "ent_id",
+) -> str:
     """Unrolled weighted PageRank in ANSI SQL — the DuckDB replay of
     ops/graph.py:pagerank(weight=...): per edge (rank * w) // wsum,
-    same damping rational, same dangling-mass semantics."""
+    same damping rational, same dangling-mass semantics. Parameterized
+    on the weighted-edge CTE body (``wedges_sql`` must yield (src,
+    dst, w BIGINT)) so the KG co-occurrence contract and the web
+    host-link-graph contract replay the SAME recursion over different
+    graphs; ``prefix`` supplies upstream CTEs (defaults to the linked-
+    corpus chain)."""
     from .ops.graph import PR_DAMP_DEN, PR_DAMP_NUM
 
     base = (PR_DAMP_DEN - PR_DAMP_NUM) * scale // PR_DAMP_DEN
@@ -4844,21 +4863,16 @@ def _weighted_pagerank_oracle(iters: int, scale: int) -> str:
     GROUP BY e.dst) s ON n.node = s.node)"""
         )
     return (
-        _LINKED_CTE
-        + """,
-wedges AS (
-  SELECT a.ent_id AS src, b.ent_id AS dst, CAST(count(*) AS BIGINT) AS w
-  FROM linked a JOIN linked b
-    ON a.doc_id = b.doc_id AND a.sent_idx = b.sent_idx AND a.pos < b.pos
-  WHERE a.ent_id <> b.ent_id
-  GROUP BY a.ent_id, b.ent_id
+        (_LINKED_CTE if prefix is None else prefix)
+        + f""",
+wedges AS ({wedges_sql}
 ),
 nodes AS (SELECT src AS node FROM wedges UNION SELECT dst FROM wedges),
 outw AS (SELECT src AS node, CAST(SUM(w) AS BIGINT) AS wsum
          FROM wedges GROUP BY src),
 """
         + ",\n".join(ctes)
-        + f"\nSELECT node AS ent_id, rank AS rank_scaled FROM r{iters}"
+        + f"\nSELECT node AS {key_alias}, rank AS rank_scaled FROM r{iters}"
     )
 
 
@@ -5508,6 +5522,75 @@ def _q_kg_graph_clustering(spark, sf_dir):
     )
 
 
+# Deterministic host-level outlinks: every doc links to three hosts at
+# arithmetic offsets from its own (offsets 1, 2+d%6, 3+2·(d%6) — never
+# ≡ 0 mod 20, so no self-links; the src<>dst filter is defensive).
+# Same synthesis discipline as _URLS_SQL: derived from columns the
+# documents table actually carries, identical arithmetic both engines.
+_HOST_LINKS_SQL = """
+  SELECT src, dst, CAST(count(*) AS BIGINT) AS w FROM (
+    SELECT source AS src,
+           'src' || CAST((doc_id % 20 + 1) % 20 AS VARCHAR) AS dst
+    FROM documents
+    UNION ALL
+    SELECT source, 'src' || CAST((doc_id % 20 + 2 + doc_id % 6) % 20 AS VARCHAR)
+    FROM documents
+    UNION ALL
+    SELECT source,
+           'src' || CAST((doc_id % 20 + 3 + 2 * (doc_id % 6)) % 20 AS VARCHAR)
+    FROM documents
+  ) WHERE src <> dst GROUP BY src, dst"""
+
+
+def host_links_df(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark twin of _HOST_LINKS_SQL — (src, dst, w) weighted host
+    link graph; pure-JVM arithmetic projection + explode, one partial
+    agg (at crawl scale this is the linkgraph-extraction shuffle:
+    billions of page edges collapse to a host×host frame)."""
+    d = _read(spark, sf_dir, "documents").select("doc_id", "source")
+    return (
+        d.select(
+            F.col("source").alias("src"),
+            F.explode(
+                F.array(
+                    F.expr("concat('src', CAST((doc_id % 20 + 1) % 20 AS STRING))"),
+                    F.expr(
+                        "concat('src',"
+                        " CAST((doc_id % 20 + 2 + doc_id % 6) % 20 AS STRING))"
+                    ),
+                    F.expr(
+                        "concat('src',"
+                        " CAST((doc_id % 20 + 3 + 2 * (doc_id % 6)) % 20 AS STRING))"
+                    ),
+                )
+            ).alias("dst"),
+        )
+        .filter(F.col("src") != F.col("dst"))
+        .groupBy("src", "dst")
+        .agg(F.count("*").cast("bigint").alias("w"))
+    )
+
+
+def _q_web_host_linkrank(spark, sf_dir):
+    """Host-level link-graph PageRank — the crawl-priority/authority
+    ranking a web pipeline runs over its link graph: synthesize the
+    deterministic per-doc outlinks, collapse to a weighted host×host
+    graph (host_links_df), then the SAME exact-integer weighted
+    PageRank recursion as kg_graph_pagerank_weighted (shared engine op
+    ops/graph.py::pagerank(weight=), shared unrolled oracle builder —
+    one recursion body, two graphs, zero drift). Scale: the per-page
+    explode+partial-agg is the only corpus-sized stage; the iteration
+    runs on the host graph, orders of magnitude smaller."""
+    from .ops.graph import pagerank
+
+    return pagerank(
+        host_links_df(spark, sf_dir),
+        iterations=WPAGERANK_ITERS,
+        scale=WPR_SCALE,
+        weight="w",
+    ).select(F.col("node").alias("host"), "rank_scaled")
+
+
 _TRANSITIONS_ORACLE = """
 WITH seq AS (
   SELECT event_type AS src_type,
@@ -5563,6 +5646,16 @@ PENDING_R6: dict = {
     "kg_graph_bfs_hops": (_q_kg_graph_bfs_hops, _bfs_hops_oracle()),
     "kg_graph_clustering": (_q_kg_graph_clustering, _CLUSTERING_ORACLE),
     "events_type_transitions": (_q_events_type_transitions, _TRANSITIONS_ORACLE),
+    "web_host_linkrank": (
+        _q_web_host_linkrank,
+        _weighted_pagerank_oracle(
+            WPAGERANK_ITERS,
+            WPR_SCALE,
+            prefix="WITH docs_base AS (SELECT doc_id, source FROM documents)",
+            wedges_sql=_HOST_LINKS_SQL,
+            key_alias="host",
+        ),
+    ),
 }
 
 
