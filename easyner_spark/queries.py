@@ -5522,6 +5522,75 @@ def _q_kg_graph_clustering(spark, sf_dir):
     )
 
 
+HARMONIC_MAX_HOPS = 3
+# Σ 1/d over reachable nodes, exactly: weight d → lcm(1..H)/d, so the
+# score is an integer in units of 1/6 (d=1→6, d=2→3, d=3→2 — all exact)
+HARMONIC_LCM = 6
+
+
+def _harmonic_oracle() -> str:
+    """Unrolled PER-SEED BFS over the top-K backbone (the (seed, node)
+    pair key is the only change vs _bfs_hops_oracle) feeding bounded
+    harmonic centrality: Σ lcm/d over nodes at hops 1..H. The pair
+    anti-join uses NOT EXISTS (NOT IN is single-column). Every CTE is
+    AS MATERIALIZED — DuckDB default-inlines CTEs and the chain
+    references predecessors twice per round."""
+    ctes = [
+        f"""wu AS MATERIALIZED ({_WU_SQL}),
+bb AS MATERIALIZED ({_BB_SQL}),
+adj AS MATERIALIZED ({_adj_sql("bb")}),
+v0 AS MATERIALIZED (
+  SELECT node AS seed, node, CAST(0 AS BIGINT) AS hops
+  FROM (SELECT a AS node FROM bb UNION SELECT b FROM bb))"""
+    ]
+    for h in range(1, HARMONIC_MAX_HOPS + 1):
+        prev = f"v{h - 1}"
+        ctes.append(
+            f"""f{h} AS MATERIALIZED (
+  SELECT DISTINCT f.seed, a.v AS node
+  FROM adj a JOIN {prev} f ON a.u = f.node AND f.hops = {h - 1}
+  WHERE NOT EXISTS (SELECT 1 FROM {prev} v
+                    WHERE v.seed = f.seed AND v.node = a.v)),
+v{h} AS MATERIALIZED (
+  SELECT seed, node, hops FROM {prev}
+  UNION ALL SELECT seed, node, CAST({h} AS BIGINT) AS hops FROM f{h})"""
+        )
+    return (
+        _LINKED_CTE
+        + ",\n"
+        + ",\n".join(ctes)
+        + f"""
+SELECT seed AS ent_id, CAST(count(*) AS BIGINT) AS n_reached,
+       CAST(SUM({HARMONIC_LCM} // hops) AS BIGINT) AS harmonic_x{HARMONIC_LCM}
+FROM v{HARMONIC_MAX_HOPS} WHERE hops >= 1 GROUP BY seed"""
+    )
+
+
+def _q_kg_graph_harmonic(spark, sf_dir):
+    """Bounded harmonic centrality over the top-K co-occurrence
+    backbone: per entity, the number of entities within
+    HARMONIC_MAX_HOPS hops and Σ 1/d over them — held exact by scaling
+    to lcm(1..H) units (6/d is an integer for d ≤ 3), so the score is
+    engine- and layout-invariant where a float 1/d sum is not. The raw
+    co-occurrence graph is complete at every SF (uniform scores,
+    vacuous); the sparse backbone discriminates. Engine op:
+    ops/graph.py::hop_distances (all-pairs bounded frontier
+    expansion), aggregated with one map-side-partial sum."""
+    from .ops.graph import hop_distances
+
+    hd = hop_distances(backbone(spark, sf_dir), max_hops=HARMONIC_MAX_HOPS)
+    return (
+        hd.filter(F.col("hops") >= 1)
+        .groupBy(F.col("seed").alias("ent_id"))
+        .agg(
+            F.count("*").cast("bigint").alias("n_reached"),
+            F.sum(F.expr(f"{HARMONIC_LCM} div hops"))
+            .cast("bigint")
+            .alias(f"harmonic_x{HARMONIC_LCM}"),
+        )
+    )
+
+
 # Deterministic host-level outlinks: every doc links to three hosts at
 # arithmetic offsets from its own (offsets 1, 2+d%6, 3+2·(d%6) — never
 # ≡ 0 mod 20, so no self-links; the src<>dst filter is defensive).
@@ -5646,6 +5715,7 @@ PENDING_R6: dict = {
     "kg_graph_bfs_hops": (_q_kg_graph_bfs_hops, _bfs_hops_oracle()),
     "kg_graph_clustering": (_q_kg_graph_clustering, _CLUSTERING_ORACLE),
     "events_type_transitions": (_q_events_type_transitions, _TRANSITIONS_ORACLE),
+    "kg_graph_harmonic": (_q_kg_graph_harmonic, _harmonic_oracle()),
     "web_host_linkrank": (
         _q_web_host_linkrank,
         _weighted_pagerank_oracle(

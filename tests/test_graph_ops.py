@@ -670,3 +670,41 @@ def test_clustering_coefficient_direction_dedup_and_hub_cap(spark):
         "B": (2, 0, 0),
         "C": (1, 0, 0),
     }
+
+
+def _py_hop_distances(edges, max_hops):
+    """Sequential all-pairs bounded oracle: _py_bfs from every node."""
+    nodes = {x for e in edges for x in e if e[0] != e[1]}
+    out = {}
+    for s in nodes:
+        for n, h in _py_bfs(edges, {s}, max_hops).items():
+            out[(str(s), str(n))] = h
+    return out
+
+
+def _run_hop_distances(spark, edges, max_hops):
+    from easyner_spark.ops.graph import hop_distances
+
+    e = _edges(spark, [(str(a), str(b)) for a, b in edges])
+    got = hop_distances(e, max_hops=max_hops).collect()
+    return {(r["seed"], r["node"]): r["hops"] for r in got}
+
+
+def test_hop_distances_matches_per_seed_bfs(spark):
+    """Chain + triangle + disconnected pair: every (seed, node) pair
+    within max_hops carries the exact min distance; cross-component
+    pairs are absent; max_hops truncates the ball."""
+    edges = [(1, 2), (2, 3), (3, 4), (2, 4), (7, 8)]
+    for mh in (1, 2, 3):
+        assert _run_hop_distances(spark, edges, mh) == _py_hop_distances(
+            edges, mh
+        )
+
+
+def test_hop_distances_dedup_and_self_rows(spark):
+    """Reversed/duplicate/self edges collapse; every node appears at
+    distance 0 from itself exactly once."""
+    edges = [("a", "b"), ("b", "a"), ("a", "a"), ("b", "c")]
+    got = _run_hop_distances(spark, edges, 5)
+    assert got == _py_hop_distances(edges, 5)
+    assert got[("a", "a")] == 0 and got[("c", "a")] == 2
