@@ -5660,6 +5660,72 @@ def _q_web_host_linkrank(spark, sf_dir):
     ).select(F.col("node").alias("host"), "rank_scaled")
 
 
+HITS_ITERS = 3
+
+
+def _hits_oracle() -> str:
+    """Unrolled weighted HITS over the host link graph — the DuckDB
+    replay of ops/graph.py::hits: per half-step Σ w·score across the
+    edges, then L1-renormalize to HITS_SCALE units with floor
+    division. HUGEINT products and ``//`` (DuckDB's DECIMAL ``//``
+    ROUNDS where Spark's div floors — same parity trap as the
+    clustering/weighted-pagerank oracles); every CTE AS MATERIALIZED
+    (each score frame is referenced by the next half-step's join AND
+    its own L1 scalar subquery)."""
+    from .ops.graph import HITS_SCALE
+
+    ctes = [
+        f"""wedges AS MATERIALIZED ({_HOST_LINKS_SQL}),
+nodes AS MATERIALIZED (
+  SELECT src AS node FROM wedges UNION SELECT dst FROM wedges),
+a0 AS MATERIALIZED (
+  SELECT node, CAST({HITS_SCALE} AS HUGEINT) AS score FROM nodes)"""
+    ]
+    for i in range(1, HITS_ITERS + 1):
+        ctes.append(
+            f"""hr{i} AS MATERIALIZED (
+  SELECT e.src AS node, SUM(CAST(e.w AS HUGEINT) * a.score) AS raw
+  FROM wedges e JOIN a{i - 1} a ON e.dst = a.node GROUP BY e.src),
+h{i} AS MATERIALIZED (
+  SELECT n.node,
+         CAST(COALESCE(r.raw, 0) * {HITS_SCALE}
+              // (SELECT SUM(raw) FROM hr{i}) AS HUGEINT) AS score
+  FROM nodes n LEFT JOIN hr{i} r ON n.node = r.node),
+ar{i} AS MATERIALIZED (
+  SELECT e.dst AS node, SUM(CAST(e.w AS HUGEINT) * h.score) AS raw
+  FROM wedges e JOIN h{i} h ON e.src = h.node GROUP BY e.dst),
+a{i} AS MATERIALIZED (
+  SELECT n.node,
+         CAST(COALESCE(r.raw, 0) * {HITS_SCALE}
+              // (SELECT SUM(raw) FROM ar{i}) AS HUGEINT) AS score
+  FROM nodes n LEFT JOIN ar{i} r ON n.node = r.node)"""
+        )
+    return (
+        "WITH "
+        + ",\n".join(ctes)
+        + f"""
+SELECT h.node AS host, CAST(h.score AS BIGINT) AS hub_scaled,
+       CAST(a.score AS BIGINT) AS auth_scaled
+FROM h{HITS_ITERS} h JOIN a{HITS_ITERS} a ON h.node = a.node"""
+    )
+
+
+def _q_web_host_hits(spark, sf_dir):
+    """Kleinberg hubs-and-authorities over the weighted host link
+    graph — the link-analysis dual of web_host_linkrank (PageRank says
+    "endorsed"; HITS separates "points at good pages" from "is a good
+    page", the distinction a crawl scheduler and a seed-list curator
+    each need). Exact integer L1-normalized half-steps (engine op
+    ops/graph.py::hits); the per-page explode + partial agg in
+    host_links_df is the only corpus-sized stage, the iteration runs
+    on the host×host frame."""
+    from .ops.graph import hits
+
+    return hits(
+        host_links_df(spark, sf_dir), weight="w", iterations=HITS_ITERS
+    ).select(F.col("node").alias("host"), "hub_scaled", "auth_scaled")
+
+
 _TRANSITIONS_ORACLE = """
 WITH seq AS (
   SELECT event_type AS src_type,
@@ -5716,6 +5782,7 @@ PENDING_R6: dict = {
     "kg_graph_clustering": (_q_kg_graph_clustering, _CLUSTERING_ORACLE),
     "events_type_transitions": (_q_events_type_transitions, _TRANSITIONS_ORACLE),
     "kg_graph_harmonic": (_q_kg_graph_harmonic, _harmonic_oracle()),
+    "web_host_hits": (_q_web_host_hits, _hits_oracle()),
     "web_host_linkrank": (
         _q_web_host_linkrank,
         _weighted_pagerank_oracle(

@@ -708,3 +708,35 @@ def test_hop_distances_dedup_and_self_rows(spark):
     got = _run_hop_distances(spark, edges, 5)
     assert got == _py_hop_distances(edges, 5)
     assert got[("a", "a")] == 0 and got[("c", "a")] == 2
+
+
+def test_hits_hand_computed_unweighted(spark):
+    """a->b, a->c, b->c at scale 1000, one iteration:
+    hub_raw (a,b,c) = (2000, 1000, 0), L1 = 3000 -> hub (666, 333, 0);
+    auth_raw (b, c) = (666, 999), L1 = 1665 -> auth (0, 400, 600).
+    Sinks keep hub 0, sources auth 0 — both rows present."""
+    from easyner_spark.ops.graph import hits
+
+    e = _edges(spark, [("a", "b"), ("a", "c"), ("b", "c")])
+    got = {
+        r["node"]: (r["hub_scaled"], r["auth_scaled"])
+        for r in hits(e, iterations=1, scale=1000).collect()
+    }
+    assert got == {"a": (666, 0), "b": (333, 400), "c": (0, 600)}
+
+
+def test_hits_weighted_fixpoint_and_dedup(spark):
+    """a->b w=3 (as parallel edges), c->b w=1, plus a self-loop to
+    drop: hub (a, c) = (750, 250), auth b = 1000 — and the scores are
+    already the fixpoint, so 1 and 3 iterations agree."""
+    from easyner_spark.ops.graph import hits
+
+    rows = [("a", "b", 2), ("a", "b", 1), ("c", "b", 1), ("b", "b", 9)]
+    e = spark.createDataFrame(rows, "src string, dst string, w long")
+    expect = {"a": (750, 0), "b": (0, 1000), "c": (250, 0)}
+    for iters in (1, 3):
+        got = {
+            r["node"]: (r["hub_scaled"], r["auth_scaled"])
+            for r in hits(e, weight="w", iterations=iters, scale=1000).collect()
+        }
+        assert got == expect, iters
