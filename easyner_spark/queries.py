@@ -5938,10 +5938,21 @@ _DRIVER_WINDOWS: dict[int, list[str]] = {
     # de-vacuoused late in round 5 (backbone / bottom-k semantics);
     # their r4 driver rows gated the OLD vacuous outputs, and window 5
     # was already saturated (|w4 ∪ w5| == all 99 registered queries, so
-    # no eviction candidate existed). The union invariant FORCES both
-    # into window 6 — their last row will be two rounds old — which is
-    # when the rewritten semantics first meet the driver. Until then
-    # they are covered by the local cell-exact sweep at sf0.001/0.01.
+    # no eviction candidate existed). Both should take window-6 slots —
+    # that is when the rewritten semantics first meet the driver. Until
+    # then they are covered by the local cell-exact sweep at
+    # sf0.001/0.01.
+    #
+    # CAPACITY MATH for the round-6 rotation: registering the
+    # PENDING_R6 queries pushes N past 100, where a strict two-window
+    # freshness rule is unsatisfiable (the driver grants 50 rows per
+    # round, so no schedule can gate N > 100 queries within two
+    # rounds). The union-invariant test therefore checks a
+    # ceil(N / 50)-round horizon — the information-theoretic bound,
+    # achieved by LRU rotation. Window 6 = all PENDING_R6 names (new
+    # queries have no prior row) + the two de-vacuoused reruns + LRU
+    # veterans from window 4's list; the remaining w4-only veterans
+    # rotate in at round 7 inside the 3-round horizon.
 }
 
 _DRIVER_ROUND = max(_DRIVER_WINDOWS)

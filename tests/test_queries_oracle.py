@@ -30,22 +30,30 @@ def test_driver_window_is_the_priority_list():
 
 def test_driver_window_union_invariant():
     """Rotation contract (round-4 verdict #3): every registered query
-    must have a driver CORRECTNESS row no older than two rounds, i.e.
-    appear in the CURRENT window or the PREVIOUS one. New queries must
-    be in the current window (they have no prior row). Each recorded
-    window is exactly the 50 slots the driver checks, duplicate-free,
-    and names only real queries."""
+    must have a driver CORRECTNESS row no older than H rounds, where
+    H = ceil(len(QUERIES) / 50) — the driver grants exactly 50 rows
+    per round, so H is the tightest freshness ANY schedule can
+    guarantee (at <= 100 queries this is the original two-window
+    rule; LRU rotation achieves the bound for any N). New queries
+    must be in the current window (they have no prior row). Each
+    recorded window is exactly the 50 slots the driver checks,
+    duplicate-free, and names only real queries."""
+    import math
+
     from easyner_spark.queries import _DRIVER_ROUND, _DRIVER_WINDOWS
 
     for rnd, win in _DRIVER_WINDOWS.items():
         assert len(win) == 50, f"round {rnd} window != 50 slots"
         assert len(set(win)) == 50, f"round {rnd} window has duplicates"
-    cur = set(_DRIVER_WINDOWS[_DRIVER_ROUND])
-    assert cur <= set(QUERIES)
-    prev = set(_DRIVER_WINDOWS.get(_DRIVER_ROUND - 1, ()))
-    stale = set(QUERIES) - cur - prev
+    assert set(_DRIVER_WINDOWS[_DRIVER_ROUND]) <= set(QUERIES)
+    horizon = math.ceil(len(QUERIES) / 50)
+    recent: set[str] = set()
+    for rnd in range(_DRIVER_ROUND - horizon + 1, _DRIVER_ROUND + 1):
+        recent |= set(_DRIVER_WINDOWS.get(rnd, ()))
+    stale = set(QUERIES) - recent
     assert not stale, (
-        f"queries without a driver row in the last two windows: {sorted(stale)}"
+        f"queries without a driver row in the last {horizon} windows: "
+        f"{sorted(stale)}"
     )
 
 
