@@ -250,6 +250,14 @@ def triangles(
     u = _undirected(edges, src, dst).localCheckpoint()
     if max_degree is not None:
         u = _drop_hubs(u, max_degree).localCheckpoint()
+    return _triangles_of(u)
+
+
+def _triangles_of(u: DataFrame) -> DataFrame:
+    """Wedge-closure body of :func:`triangles` over an ALREADY
+    canonical, materialized (a, b) frame — callers that have paid the
+    distinct/checkpoint (clustering_coefficient) skip a redundant
+    shuffle+materialization by entering here."""
     e1, e2, e3 = u.alias("e1"), u.alias("e2"), u.alias("e3")
     tri = (
         e1.join(e2, F.col("e1.b") == F.col("e2.a"))
@@ -304,7 +312,7 @@ def clustering_coefficient(
     u = _undirected(edges, src, dst).localCheckpoint()
     if max_degree is not None:
         u = _drop_hubs(u, max_degree).localCheckpoint()
-    tri = triangles(u, src="a", dst="b")
+    tri = _triangles_of(u)  # u is already canonical + checkpointed
     deg = _degrees(u, node_col="node", deg_col="degree")
     return (
         deg.join(tri, "node", "left")
@@ -556,28 +564,31 @@ def bfs_hops(
     """
     u = _undirected(edges, src, dst).localCheckpoint()
     adj = _adjacency(u)
-    visited = (
-        sources.select(F.col(node).alias("node"))
-        .distinct()
-        .select("node", F.lit(0).cast("bigint").alias("hops"))
-        .localCheckpoint()
+    frontier = (
+        sources.select(F.col(node).alias("node")).distinct().localCheckpoint()
     )
-    frontier = visited.select("node")
+    # each round's frontier is checkpointed ONCE; the visited set is a
+    # lazy union of those materialized layers (re-checkpointing the
+    # whole union per round would write O(rounds × |visited|) rows)
+    layers = [frontier.select("node", F.lit(0).cast("bigint").alias("hops"))]
+    visited_nodes = frontier
     for h in range(1, max_hops + 1):
         nxt = (
             adj.join(frontier.withColumnRenamed("node", "u"), "u")
             .select(F.col("v").alias("node"))
             .distinct()
-            .join(visited.select("node"), "node", "left_anti")
+            .join(visited_nodes, "node", "left_anti")
             .localCheckpoint()
         )
         if nxt.limit(1).count() == 0:
             break
-        visited = visited.union(
-            nxt.select("node", F.lit(h).cast("bigint").alias("hops"))
-        ).localCheckpoint()
+        layers.append(nxt.select("node", F.lit(h).cast("bigint").alias("hops")))
+        visited_nodes = visited_nodes.union(nxt)
         frontier = nxt
-    return visited
+    out = layers[0]
+    for lay in layers[1:]:
+        out = out.union(lay)
+    return out
 
 
 HITS_SCALE = 10**9
@@ -669,6 +680,9 @@ def hits(
             .agg(
                 F.sum(F.expr("CAST(w AS DECIMAL(38,0)) * score")).alias("raw")
             )
+            # two consumers (L1 total + the normalize join): Catalyst
+            # does not dedupe fan-out subtrees — materialize once
+            .localCheckpoint()
         )
         total = raw.agg(F.sum("raw").alias("_l1"))
         return (
@@ -729,29 +743,38 @@ def hop_distances(
     Aitslab/EasyNER scripts/analysis.py)."""
     u = _undirected(edges, src, dst).localCheckpoint()
     adj = _adjacency(u)
-    visited = (
+    frontier = (
         u.select(F.col("a").alias("seed"))
         .union(u.select(F.col("b").alias("seed")))
         .distinct()
-        .select("seed", F.col("seed").alias("node"), F.lit(0).cast("bigint").alias("hops"))
+        .select("seed", F.col("seed").alias("node"))
         .localCheckpoint()
     )
-    frontier = visited.select("seed", "node")
+    # same layered-union discipline as bfs_hops: only each round's new
+    # pair frontier is materialized; the visited pair set is a lazy
+    # union of those layers (the full ball is the OUTPUT here, so a
+    # per-round re-checkpoint would re-write it max_hops times over)
+    layers = [frontier.select("seed", "node", F.lit(0).cast("bigint").alias("hops"))]
+    visited_pairs = frontier
     for h in range(1, max_hops + 1):
         nxt = (
             adj.join(frontier.withColumnRenamed("node", "u"), "u")
             .select("seed", F.col("v").alias("node"))
             .distinct()
-            .join(visited.select("seed", "node"), ["seed", "node"], "left_anti")
+            .join(visited_pairs, ["seed", "node"], "left_anti")
             .localCheckpoint()
         )
         if nxt.limit(1).count() == 0:
             break
-        visited = visited.union(
+        layers.append(
             nxt.select("seed", "node", F.lit(h).cast("bigint").alias("hops"))
-        ).localCheckpoint()
+        )
+        visited_pairs = visited_pairs.union(nxt)
         frontier = nxt
-    return visited
+    out = layers[0]
+    for lay in layers[1:]:
+        out = out.union(lay)
+    return out
 
 
 def k_core(

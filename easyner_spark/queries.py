@@ -2737,17 +2737,25 @@ def wedges(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Directed WEIGHTED co-occurrence edges (src, dst, w) — the SQL twin of
+# wedges() above and the single definition of the weighted-graph join
+# (self-loop filter, pos<pos orientation): _WU_SQL folds it undirected,
+# the weighted-pagerank oracle consumes it directly.
+_KG_WEDGES_SQL = """
+  SELECT a.ent_id AS src, b.ent_id AS dst, CAST(count(*) AS BIGINT) AS w
+  FROM linked a JOIN linked b
+    ON a.doc_id = b.doc_id AND a.sent_idx = b.sent_idx AND a.pos < b.pos
+  WHERE a.ent_id <> b.ent_id
+  GROUP BY a.ent_id, b.ent_id"""
+
 # Weighted UNDIRECTED co-occurrence edges (a, b, w), a < b — the shared
 # graph definition for the backbone / k-core / label-prop gates. ONE
 # body, interpolated into each oracle (plain or AS MATERIALIZED per the
 # consumer's CTE-inlining needs), so the self-loop filter and pos<pos
 # orientation cannot drift between gates.
-_WU_SQL = """
+_WU_SQL = f"""
   SELECT least(src, dst) AS a, greatest(src, dst) AS b, SUM(w) AS w
-  FROM (SELECT a.ent_id AS src, b.ent_id AS dst, count(*) AS w
-        FROM linked a JOIN linked b
-          ON a.doc_id = b.doc_id AND a.sent_idx = b.sent_idx AND a.pos < b.pos
-        WHERE a.ent_id <> b.ent_id GROUP BY 1, 2)
+  FROM ({_KG_WEDGES_SQL})
   GROUP BY 1, 2"""
 
 
@@ -4820,14 +4828,6 @@ WPAGERANK_ITERS = 3
 WPR_SCALE = 10**9  # final per-node rank must fit int64 (products are wide)
 
 
-_KG_WEDGES_SQL = """
-  SELECT a.ent_id AS src, b.ent_id AS dst, CAST(count(*) AS BIGINT) AS w
-  FROM linked a JOIN linked b
-    ON a.doc_id = b.doc_id AND a.sent_idx = b.sent_idx AND a.pos < b.pos
-  WHERE a.ent_id <> b.ent_id
-  GROUP BY a.ent_id, b.ent_id"""
-
-
 def _weighted_pagerank_oracle(
     iters: int,
     scale: int,
@@ -4841,8 +4841,9 @@ def _weighted_pagerank_oracle(
     on the weighted-edge CTE body (``wedges_sql`` must yield (src,
     dst, w BIGINT)) so the KG co-occurrence contract and the web
     host-link-graph contract replay the SAME recursion over different
-    graphs; ``prefix`` supplies upstream CTEs (defaults to the linked-
-    corpus chain)."""
+    graphs; ``prefix`` supplies upstream CTEs as a complete ``WITH x
+    AS (...)`` clause (None → the linked-corpus chain; "" → none, for
+    a wedges_sql that reads base tables directly)."""
     from .ops.graph import PR_DAMP_DEN, PR_DAMP_NUM
 
     base = (PR_DAMP_DEN - PR_DAMP_NUM) * scale // PR_DAMP_DEN
@@ -4862,9 +4863,10 @@ def _weighted_pagerank_oracle(
                   JOIN outw d ON e.src = d.node
     GROUP BY e.dst) s ON n.node = s.node)"""
         )
+    head = _LINKED_CTE if prefix is None else prefix
     return (
-        (_LINKED_CTE if prefix is None else prefix)
-        + f""",
+        (head + "," if head else "WITH")
+        + f"""
 wedges AS ({wedges_sql}
 ),
 nodes AS (SELECT src AS node FROM wedges UNION SELECT dst FROM wedges),
@@ -5788,7 +5790,7 @@ PENDING_R6: dict = {
         _weighted_pagerank_oracle(
             WPAGERANK_ITERS,
             WPR_SCALE,
-            prefix="WITH docs_base AS (SELECT doc_id, source FROM documents)",
+            prefix="",  # _HOST_LINKS_SQL reads documents directly
             wedges_sql=_HOST_LINKS_SQL,
             key_alias="host",
         ),
@@ -5953,6 +5955,16 @@ _DRIVER_WINDOWS: dict[int, list[str]] = {
     # queries have no prior row) + the two de-vacuoused reruns + LRU
     # veterans from window 4's list; the remaining w4-only veterans
     # rotate in at round 7 inside the 3-round horizon.
+}
+
+# Queries whose registered semantics changed AFTER their newest driver
+# row (de-vacuoused late in round 5): their old rows gate outputs that
+# no longer exist, so their next window appearance is MANDATORY — the
+# horizon test alone would count the stale rows as valid evidence. The
+# union-invariant test enforces each entry once its round's window is
+# authored.
+_MUST_REGATE: dict[int, list[str]] = {
+    6: ["kg_graph_two_hop", "index_postings_rare"],
 }
 
 _DRIVER_ROUND = max(_DRIVER_WINDOWS)

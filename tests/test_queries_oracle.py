@@ -55,6 +55,17 @@ def test_driver_window_union_invariant():
         f"queries without a driver row in the last {horizon} windows: "
         f"{sorted(stale)}"
     )
+    # semantics-changed queries MUST be re-gated in their recorded
+    # round — their older driver rows gate outputs that no longer
+    # exist, so horizon coverage alone overstates driver evidence
+    from easyner_spark.queries import _MUST_REGATE
+
+    for rnd, names in _MUST_REGATE.items():
+        if rnd <= _DRIVER_ROUND:
+            missing = set(names) - set(_DRIVER_WINDOWS.get(rnd, ()))
+            assert not missing, (
+                f"round {rnd} window must re-gate {sorted(missing)}"
+            )
 
 
 @pytest.mark.parametrize("name", sorted(QUERIES))
