@@ -166,16 +166,27 @@ def run_bench(sf_dir: str, cpus: str, n_corpus_docs: int | None = None) -> dict:
         "kg_graph_kcore",
         "kg_graph_label_prop",
     ]
-    for name in headline:
+    def timed(fn) -> float:
         # min of two runs: this VM shows sporadic multi-second scheduler
         # spikes; the first run additionally pays codegen compile
         best = None
         for _ in range(2):
             t0 = time.time()
-            mat(QUERIES[name](spark, sf_dir))
+            mat(fn(spark, sf_dir))
             dt = time.time() - t0
             best = dt if best is None or dt < best else best
-        results[name] = round(best, 3)
+        return round(best, 3)
+
+    for name in headline:
+        results[name] = timed(QUERIES[name])
+
+    # round-5 continuation: every PENDING_R6 contract pair (window-6
+    # registrations) gets a regression row from day one — pulled from
+    # the dict itself so bench coverage can't drift from the registry
+    from easyner_spark.queries import PENDING_R6
+
+    for name, (fn, _sql) in PENDING_R6.items():
+        results[name] = timed(fn)
 
     total = round(sum(results.values()), 3)
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
