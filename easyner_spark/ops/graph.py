@@ -48,6 +48,7 @@ def pagerank(
     epsilon_scaled: int | None = None,
     info: dict | None = None,
     weight: str | None = None,
+    restart: DataFrame | None = None,
 ) -> DataFrame:
     """Fixed-iteration PageRank → (node, rank_scaled BIGINT).
 
@@ -81,11 +82,23 @@ def pagerank(
     fails loudly otherwise). With weight=None the classic uniform
     split runs, bit-identical to before the option existed.
 
+    ``restart`` (optional one-column node frame): PERSONALIZED
+    PageRank — the teleport mass lands only on the given seed nodes
+    instead of uniformly: rank starts at ``scale`` on seeds / 0
+    elsewhere, and the per-round base term ``(15·scale) div 100`` is
+    added only to seeds. The result is the seed-biased relevance
+    ranking behind "related entities" panels and topic-focused crawl
+    ordering. Seeds not present in the graph are ignored (they have
+    no edges to push mass through); with restart=None the classic
+    uniform variant runs, bit-identical to before the option existed.
+
     Plan shape: the (src, dst, out_degree) table is materialized once
     (localCheckpoint) and reused every round; each iteration is one
     hash-join edges⋈ranks on src plus one map-side-partial sum keyed by
     dst. With the edge table bucketed by src, only the rank table (one
-    row per node) crosses the wire per round.
+    row per node) crosses the wire per round. The restart flag is one
+    extra broadcast-sized left join folded into the materialized node
+    frame — per-round cost is unchanged.
     """
     if weight is None:
         e = (
@@ -122,8 +135,25 @@ def pagerank(
         .localCheckpoint()
     )
     base = PR_DAMP_DEN - PR_DAMP_NUM  # 15
-    ranks = nodes.withColumn("rank", F.lit(scale).cast("bigint"))
     base_term = base * scale // PR_DAMP_DEN
+    if restart is None:
+        ranks = nodes.withColumn("rank", F.lit(scale).cast("bigint"))
+        base_expr = str(base_term)
+    else:
+        seeds = restart.select(
+            F.col(restart.columns[0]).alias("node")
+        ).distinct()
+        nodes = nodes.join(
+            seeds.withColumn("_seed", F.lit(1)), "node", "left"
+        ).localCheckpoint()
+        ranks = nodes.select(
+            "node",
+            F.when(F.col("_seed") == 1, F.lit(scale))
+            .otherwise(F.lit(0))
+            .cast("bigint")
+            .alias("rank"),
+        )
+        base_expr = f"CASE WHEN _seed = 1 THEN {base_term} ELSE 0 END"
     if info is not None:
         info.update({"rounds": 0, "last_delta": None})
     for _ in range(iterations):
@@ -147,7 +177,7 @@ def pagerank(
             .select(
                 "node",
                 F.expr(
-                    f"CAST({base_term} + floor({PR_DAMP_NUM}"
+                    f"CAST(({base_expr}) + floor({PR_DAMP_NUM}"
                     f" * coalesce(s, CAST(0 AS DECIMAL(38,0)))"
                     f" / {PR_DAMP_DEN}) AS BIGINT)"
                 ).alias("rank"),

@@ -5593,6 +5593,87 @@ def _q_kg_graph_harmonic(spark, sf_dir):
     )
 
 
+PPR_N_SEEDS = 2
+PPR_ITERS = 4
+
+
+def _ppr_oracle() -> str:
+    """Unrolled personalized PageRank over the SYMMETRIZED top-K
+    backbone (the adj expansion doubles as the directed edge set, so
+    co-occurrence mass flows both ways — the raw a<b orientation is an
+    artifact of canonicalization, not direction). Teleport mass lands
+    only on the PPR_N_SEEDS smallest backbone nodes (same seed rule as
+    the BFS gate): r0 = scale on seeds / 0 elsewhere; per round the
+    15% base term is added to seeds only. Same integer recursion as
+    _pagerank_oracle otherwise (HUGEINT sums, // floors)."""
+    from .ops.graph import PR_DAMP_DEN, PR_DAMP_NUM, PR_SCALE
+
+    base = (PR_DAMP_DEN - PR_DAMP_NUM) * PR_SCALE // PR_DAMP_DEN
+    ctes = [
+        f"""wu AS MATERIALIZED ({_WU_SQL}),
+bb AS MATERIALIZED ({_BB_SQL}),
+adj AS MATERIALIZED ({_adj_sql("bb")}),
+allnodes AS MATERIALIZED (SELECT DISTINCT u AS node FROM adj),
+seeds AS MATERIALIZED (
+  SELECT node FROM allnodes ORDER BY node LIMIT {PPR_N_SEEDS}),
+nodes AS MATERIALIZED (
+  SELECT a.node, CASE WHEN s.node IS NULL THEN 0 ELSE 1 END AS is_seed
+  FROM allnodes a LEFT JOIN seeds s ON a.node = s.node),
+outdeg AS MATERIALIZED (
+  SELECT u AS node, CAST(count(*) AS BIGINT) AS outdeg
+  FROM adj GROUP BY u),
+r0 AS (SELECT node, CAST(CASE WHEN is_seed = 1 THEN {PR_SCALE} ELSE 0 END
+                         AS BIGINT) AS rank
+       FROM nodes)"""
+    ]
+    for i in range(1, PPR_ITERS + 1):
+        ctes.append(
+            f"""r{i} AS MATERIALIZED (
+  SELECT n.node,
+         CAST(CASE WHEN n.is_seed = 1 THEN {base} ELSE 0 END
+              + ({PR_DAMP_NUM} * COALESCE(s.c, 0)) // {PR_DAMP_DEN}
+              AS BIGINT) AS rank
+  FROM nodes n LEFT JOIN (
+    SELECT e.v AS node, SUM(r.rank // d.outdeg) AS c
+    FROM adj e JOIN r{i - 1} r ON e.u = r.node
+               JOIN outdeg d ON e.u = d.node
+    GROUP BY e.v) s ON n.node = s.node)"""
+        )
+    return (
+        _LINKED_CTE
+        + ",\n"
+        + ",\n".join(ctes)
+        + f"\nSELECT node AS ent_id, rank AS rank_scaled FROM r{PPR_ITERS}"
+    )
+
+
+def _q_kg_graph_ppr(spark, sf_dir):
+    """Personalized PageRank from the two lexicographically smallest
+    backbone entities — the seed-biased relevance ranking a KG serves
+    for "entities related to THIS seed set" panels (uniform PageRank
+    answers global importance; PPR answers importance relative to a
+    query). Symmetrized backbone (co-occurrence is undirected), exact
+    integer recursion, fixed PPR_ITERS rounds so the DuckDB oracle
+    replays the identical depth. Engine: ops/graph.py::pagerank(
+    restart=seeds) — the restart flag folds into the materialized
+    node frame, per-round cost unchanged."""
+    from .ops.graph import pagerank
+
+    bb = backbone(spark, sf_dir).localCheckpoint()
+    sym = bb.union(
+        bb.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    )
+    seeds = (
+        sym.select(F.col("src").alias("node"))
+        .distinct()
+        .orderBy("node")
+        .limit(PPR_N_SEEDS)
+    )
+    return pagerank(sym, iterations=PPR_ITERS, restart=seeds).select(
+        F.col("node").alias("ent_id"), "rank_scaled"
+    )
+
+
 # Deterministic host-level outlinks: every doc links to three hosts at
 # arithmetic offsets from its own (offsets 1, 2+d%6, 3+2·(d%6) — never
 # ≡ 0 mod 20, so no self-links; the src<>dst filter is defensive).
@@ -5785,6 +5866,7 @@ PENDING_R6: dict = {
     "events_type_transitions": (_q_events_type_transitions, _TRANSITIONS_ORACLE),
     "kg_graph_harmonic": (_q_kg_graph_harmonic, _harmonic_oracle()),
     "web_host_hits": (_q_web_host_hits, _hits_oracle()),
+    "kg_graph_ppr": (_q_kg_graph_ppr, _ppr_oracle()),
     "web_host_linkrank": (
         _q_web_host_linkrank,
         _weighted_pagerank_oracle(

@@ -740,3 +740,29 @@ def test_hits_weighted_fixpoint_and_dedup(spark):
             for r in hits(e, weight="w", iterations=iters, scale=1000).collect()
         }
         assert got == expect, iters
+
+
+def test_personalized_pagerank_hand_computed(spark):
+    """Symmetric star a-b, a-c with seed {a} at scale 1000.
+    r0 = (1000, 0, 0); round 1: a keeps only its base 150, b and c
+    each get 85% of a's half-split -> 425. Round 2: a = 150 +
+    85*(425+425)//100 = 872; b = c = 85*(150 div 2)//100 = 63.
+    Non-seeds receive NO base term — mass reaches them only through
+    edges."""
+    from easyner_spark.ops.graph import pagerank
+
+    e = _edges(
+        spark, [("a", "b"), ("b", "a"), ("a", "c"), ("c", "a")]
+    )
+    seeds = spark.createDataFrame([("a",)], "node string")
+    for iters, expect in (
+        (1, {"a": 150, "b": 425, "c": 425}),
+        (2, {"a": 872, "b": 63, "c": 63}),
+    ):
+        got = {
+            r["node"]: r["rank_scaled"]
+            for r in pagerank(
+                e, iterations=iters, scale=1000, restart=seeds
+            ).collect()
+        }
+        assert got == expect, iters
