@@ -214,3 +214,123 @@ def test_two_phase_rank_equals_global_rank_random(spark):
         ).collect()
     }
     assert got == want
+
+
+def test_ppr_random_graph_matches_sequential_integer_reference(spark):
+    """pagerank(restart=seeds) on a random 35-node digraph vs the
+    sequential integer recursion: base term and initial mass land on
+    seeds only; everything else matches the uniform reference."""
+    rng = random.Random(29)
+    nodes = [f"n{i}" for i in range(35)]
+    edges = [
+        (a, b)
+        for a, b in {(rng.choice(nodes), rng.choice(nodes)) for _ in range(150)}
+        if a != b
+    ]
+    from easyner_spark.ops.graph import PR_DAMP_DEN, PR_DAMP_NUM, pagerank
+
+    scale, iters = 10**9, 4
+    eset = sorted(set(edges))
+    ns = sorted({a for a, _ in eset} | {b for _, b in eset})
+    seeds = sorted(rng.sample(ns, 3))
+    outdeg: dict[str, int] = {}
+    for a, _ in eset:
+        outdeg[a] = outdeg.get(a, 0) + 1
+    rank = {n: (scale if n in seeds else 0) for n in ns}
+    base_term = (PR_DAMP_DEN - PR_DAMP_NUM) * scale // PR_DAMP_DEN
+    for _ in range(iters):
+        s: dict[str, int] = {}
+        for a, b in eset:
+            s[b] = s.get(b, 0) + rank[a] // outdeg[a]
+        rank = {
+            n: (base_term if n in seeds else 0)
+            + PR_DAMP_NUM * s.get(n, 0) // PR_DAMP_DEN
+            for n in ns
+        }
+
+    df = spark.createDataFrame(edges, "src string, dst string")
+    sdf = spark.createDataFrame([(s,) for s in seeds], "node string")
+    got = {
+        r["node"]: r["rank_scaled"]
+        for r in pagerank(
+            df, iterations=iters, scale=scale, restart=sdf
+        ).collect()
+    }
+    assert got == rank
+
+
+def test_hits_random_graph_matches_sequential_integer_reference(spark):
+    """Weighted HITS on a random digraph vs the sequential L1-floor
+    recursion (hub from auth, then auth from the fresh hubs)."""
+    rng = random.Random(31)
+    nodes = [f"h{i}" for i in range(30)]
+    pairs = sorted(
+        {(rng.choice(nodes), rng.choice(nodes)) for _ in range(120)}
+    )
+    edges = [(a, b, rng.randint(1, 5)) for a, b in pairs if a != b]
+    from easyner_spark.ops.graph import hits
+
+    scale, iters = 10**9, 3
+    ns = sorted({a for a, _, _ in edges} | {b for _, b, _ in edges})
+    auth = {n: scale for n in ns}
+    hub = dict(auth)
+    for _ in range(iters):
+        raw: dict[str, int] = {}
+        for a, b, w in edges:
+            raw[a] = raw.get(a, 0) + w * auth[b]
+        l1 = sum(raw.values())
+        hub = {n: raw.get(n, 0) * scale // l1 for n in ns}
+        raw = {}
+        for a, b, w in edges:
+            raw[b] = raw.get(b, 0) + w * hub[a]
+        l1 = sum(raw.values())
+        auth = {n: raw.get(n, 0) * scale // l1 for n in ns}
+
+    df = spark.createDataFrame(edges, "src string, dst string, w long")
+    got = {
+        r["node"]: (r["hub_scaled"], r["auth_scaled"])
+        for r in hits(df, weight="w", iterations=iters, scale=scale).collect()
+    }
+    assert got == {n: (hub[n], auth[n]) for n in ns}
+
+
+def test_hop_distances_random_graph_matches_sequential_bfs(spark):
+    """hop_distances on a random sparse graph vs per-seed sequential
+    BFS, across max_hops settings (truncation included)."""
+    rng = random.Random(37)
+    nodes = list(range(25))
+    edges = [
+        (a, b)
+        for a, b in {
+            (rng.choice(nodes), rng.choice(nodes)) for _ in range(30)
+        }
+        if a != b
+    ]
+    from easyner_spark.ops.graph import hop_distances
+
+    adj: dict[int, set[int]] = {}
+    for a, b in edges:
+        adj.setdefault(a, set()).add(b)
+        adj.setdefault(b, set()).add(a)
+    expect: dict[tuple[str, str], int] = {}
+    for mh in (1, 3):
+        expect = {}
+        for s in adj:
+            dist = {s: 0}
+            frontier = {s}
+            for h in range(1, mh + 1):
+                frontier = {
+                    v for n in frontier for v in adj[n] if v not in dist
+                }
+                for v in frontier:
+                    dist[v] = h
+            for n, d in dist.items():
+                expect[(str(s), str(n))] = d
+        df = spark.createDataFrame(
+            [(str(a), str(b)) for a, b in edges], "src string, dst string"
+        )
+        got = {
+            (r["seed"], r["node"]): r["hops"]
+            for r in hop_distances(df, max_hops=mh).collect()
+        }
+        assert got == expect, mh
