@@ -5743,6 +5743,83 @@ def _q_web_host_linkrank(spark, sf_dir):
     ).select(F.col("node").alias("host"), "rank_scaled")
 
 
+_RECIPROCITY_ORACLE = f"""
+WITH links AS MATERIALIZED (
+  SELECT src, dst FROM ({_HOST_LINKS_SQL})
+),
+hosts AS (SELECT src AS host FROM links UNION SELECT dst FROM links),
+outc AS (SELECT src AS host, CAST(count(*) AS BIGINT) AS out_links
+         FROM links GROUP BY src),
+inc AS (SELECT dst AS host, CAST(count(*) AS BIGINT) AS in_links
+        FROM links GROUP BY dst),
+recip AS (
+  SELECT a.src AS host, CAST(count(*) AS BIGINT) AS recip_links
+  FROM links a JOIN links b ON a.src = b.dst AND a.dst = b.src
+  GROUP BY a.src)
+SELECT h.host,
+       COALESCE(o.out_links, 0) AS out_links,
+       COALESCE(i.in_links, 0) AS in_links,
+       COALESCE(r.recip_links, 0) AS recip_links,
+       CAST(CASE WHEN COALESCE(o.out_links, 0) > 0
+                 THEN COALESCE(r.recip_links, 0) * 1000000
+                      // o.out_links
+                 ELSE 0 END AS BIGINT) AS reciprocity_ppm
+FROM hosts h
+LEFT JOIN outc o ON h.host = o.host
+LEFT JOIN inc i ON h.host = i.host
+LEFT JOIN recip r ON h.host = r.host
+"""
+
+
+def _q_web_host_reciprocity(spark, sf_dir):
+    """Per-host link reciprocity over the directed host graph — the
+    standard link-spam / partnership signal (mutual-link rings stand
+    out as reciprocity → 1, organic authority sites stay low): distinct
+    out-links, in-links, reciprocated out-links and the exact ppm
+    share of out-links that are reciprocated (integer quantization,
+    no float division). One self-join on the (already tiny) host×host
+    frame + three partial-agg joins; at crawl scale the per-page
+    explode in host_links_df is the only corpus-sized stage."""
+    links = host_links_df(spark, sf_dir).select("src", "dst").localCheckpoint()
+    hosts = (
+        links.select(F.col("src").alias("host"))
+        .union(links.select(F.col("dst").alias("host")))
+        .distinct()
+    )
+    outc = links.groupBy(F.col("src").alias("host")).agg(
+        F.count("*").cast("bigint").alias("out_links")
+    )
+    inc = links.groupBy(F.col("dst").alias("host")).agg(
+        F.count("*").cast("bigint").alias("in_links")
+    )
+    rev = links.select(
+        F.col("dst").alias("src"), F.col("src").alias("dst")
+    )
+    recip = (
+        links.join(rev, ["src", "dst"])
+        .groupBy(F.col("src").alias("host"))
+        .agg(F.count("*").cast("bigint").alias("recip_links"))
+    )
+    return (
+        hosts.join(outc, "host", "left")
+        .join(inc, "host", "left")
+        .join(recip, "host", "left")
+        .select(
+            "host",
+            F.coalesce("out_links", F.lit(0)).cast("bigint").alias("out_links"),
+            F.coalesce("in_links", F.lit(0)).cast("bigint").alias("in_links"),
+            F.coalesce("recip_links", F.lit(0))
+            .cast("bigint")
+            .alias("recip_links"),
+            F.expr(
+                "CAST(CASE WHEN coalesce(out_links, 0) > 0 THEN"
+                " coalesce(recip_links, 0) * 1000000 div out_links"
+                " ELSE 0 END AS BIGINT)"
+            ).alias("reciprocity_ppm"),
+        )
+    )
+
+
 HITS_ITERS = 3
 
 
@@ -5867,6 +5944,7 @@ PENDING_R6: dict = {
     "kg_graph_harmonic": (_q_kg_graph_harmonic, _harmonic_oracle()),
     "web_host_hits": (_q_web_host_hits, _hits_oracle()),
     "kg_graph_ppr": (_q_kg_graph_ppr, _ppr_oracle()),
+    "web_host_reciprocity": (_q_web_host_reciprocity, _RECIPROCITY_ORACLE),
     "web_host_linkrank": (
         _q_web_host_linkrank,
         _weighted_pagerank_oracle(
