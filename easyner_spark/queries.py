@@ -5593,6 +5593,57 @@ def _q_kg_graph_harmonic(spark, sf_dir):
     )
 
 
+# Per-entity weakest relation: each node's single LEAST-evidence
+# incident edge, by (w ASC, a, b) — (w, a, b) unique ⇒ the per-node
+# argmin is deterministic. This is the curation panel "which of my
+# relations has the least support" (the edges a KG reviewer re-checks
+# first). NOTE a CC-over-weak-edges gate was tried and rejected as
+# vacuous on this corpus: bottom-K cuts (K=25, K=8) AND the per-node
+# argmin union each measured ONE component — the rarest entity is
+# everyone's weakest peer, so the weak graph is a hub star; component
+# structure cannot discriminate here (dedup_components already gates
+# CC on a graph that does fragment).
+_WEAKEST_ORACLE = (
+    _LINKED_CTE
+    + f""",
+wu AS MATERIALIZED ({_WU_SQL})
+SELECT u AS ent_id, CASE WHEN a = u THEN b ELSE a END AS peer,
+       CAST(w AS BIGINT) AS w
+FROM (
+  SELECT u, a, b, w,
+         row_number() OVER (PARTITION BY u ORDER BY w, a, b) AS rn
+  FROM (SELECT a AS u, a, b, w FROM wu
+        UNION ALL SELECT b, a, b, w FROM wu)
+) WHERE rn = 1
+"""
+)
+
+
+def _q_kg_entity_weakest_link(spark, sf_dir):
+    """Per-entity weakest relation — the minimum-evidence incident
+    co-occurrence edge per node ((w, a, b) unique ⇒ deterministic
+    argmin), i.e. the relations a KG curator re-checks first. The
+    argmin is a partitioned window over the doubled incidence frame
+    (per-node groups are degree-bounded — no single-partition
+    exchange; at web scale this is one shuffle keyed by node)."""
+    wu = wuedges(spark, sf_dir).localCheckpoint()  # two incidence consumers
+    incid = wu.select(F.col("a").alias("u"), "a", "b", "w").union(
+        wu.select(F.col("b").alias("u"), "a", "b", "w")
+    )
+    win = W.partitionBy("u").orderBy("w", "a", "b")
+    return (
+        incid.withColumn("rn", F.row_number().over(win))
+        .filter(F.col("rn") == 1)
+        .select(
+            F.col("u").alias("ent_id"),
+            F.when(F.col("a") == F.col("u"), F.col("b"))
+            .otherwise(F.col("a"))
+            .alias("peer"),
+            F.col("w").cast("bigint").alias("w"),
+        )
+    )
+
+
 PPR_N_SEEDS = 2
 PPR_ITERS = 4
 
@@ -5945,6 +5996,7 @@ PENDING_R6: dict = {
     "web_host_hits": (_q_web_host_hits, _hits_oracle()),
     "kg_graph_ppr": (_q_kg_graph_ppr, _ppr_oracle()),
     "web_host_reciprocity": (_q_web_host_reciprocity, _RECIPROCITY_ORACLE),
+    "kg_entity_weakest_link": (_q_kg_entity_weakest_link, _WEAKEST_ORACLE),
     "web_host_linkrank": (
         _q_web_host_linkrank,
         _weighted_pagerank_oracle(
