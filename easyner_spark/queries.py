@@ -5644,6 +5644,52 @@ def _q_kg_entity_weakest_link(spark, sf_dir):
     )
 
 
+_NOVELTY_ORACLE = (
+    _SHINGLES_CTE
+    + """,
+ds AS (SELECT DISTINCT doc_id, shingle FROM shingles),
+firsts AS (SELECT shingle, min(doc_id) AS first_doc FROM ds GROUP BY shingle)
+SELECT d.doc_id,
+       CAST(count(*) AS BIGINT) AS n_shingles,
+       CAST(SUM(CASE WHEN f.first_doc = d.doc_id THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_novel,
+       CAST(SUM(CASE WHEN f.first_doc = d.doc_id THEN 1 ELSE 0 END)
+            * 1000000 // count(*) AS BIGINT) AS novelty_ppm
+FROM ds d JOIN firsts f ON d.shingle = f.shingle
+GROUP BY d.doc_id
+"""
+)
+
+
+def _q_doc_novelty(spark, sf_dir):
+    """Per-document novelty: the share of a doc's distinct 3-shingles
+    whose FIRST corpus occurrence (min doc_id — ingest-order proxy,
+    deterministic on the zero-padded ids) is this document. The
+    incremental-redundancy signal a curation pipeline uses to
+    down-weight late near-echoes without discarding them (dedup kills
+    copies; novelty SCORES the long tail of partial overlap). Exact
+    integer ppm. Scale: one shingle-keyed join + two map-side-partial
+    aggs — the same shuffle class as the MinHash banding; no windows,
+    no driver state."""
+    ds = shingles(spark, sf_dir).distinct().localCheckpoint()
+    firsts = ds.groupBy("shingle").agg(F.min("doc_id").alias("first_doc"))
+    novel = F.sum(
+        F.when(F.col("first_doc") == F.col("doc_id"), 1).otherwise(0)
+    )
+    return (
+        ds.join(firsts, "shingle")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").cast("bigint").alias("n_shingles"),
+            novel.cast("bigint").alias("n_novel"),
+            F.expr(
+                "CAST(SUM(CASE WHEN first_doc = doc_id THEN 1 ELSE 0 END)"
+                " * 1000000 div count(*) AS BIGINT)"
+            ).alias("novelty_ppm"),
+        )
+    )
+
+
 PPR_N_SEEDS = 2
 PPR_ITERS = 4
 
@@ -5997,6 +6043,7 @@ PENDING_R6: dict = {
     "kg_graph_ppr": (_q_kg_graph_ppr, _ppr_oracle()),
     "web_host_reciprocity": (_q_web_host_reciprocity, _RECIPROCITY_ORACLE),
     "kg_entity_weakest_link": (_q_kg_entity_weakest_link, _WEAKEST_ORACLE),
+    "doc_novelty": (_q_doc_novelty, _NOVELTY_ORACLE),
     "web_host_linkrank": (
         _q_web_host_linkrank,
         _weighted_pagerank_oracle(
