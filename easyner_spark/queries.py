@@ -5416,16 +5416,35 @@ def q_kg_graph_label_prop(spark, sf_dir):
 # next round. Same shape rules as registered queries: scalar columns,
 # integer-exact arithmetic, shared graph definition (_WU_SQL/wuedges).
 
-BFS_N_SEEDS = 2
+# ONE seed rule for every seeded backbone gate (BFS, personalized
+# PageRank): the GATE_N_SEEDS lexicographically smallest backbone
+# nodes — deterministic, collation-safe on ASCII ent_ids. Shared
+# Spark helper + SQL fragment so the rule cannot drift between gates
+# (same anti-drift discipline as _WU_SQL/_BB_SQL/_adj_sql).
+GATE_N_SEEDS = 2
 BFS_MAX_HOPS = 3
+
+_SEEDS_SQL = f"""
+  SELECT node FROM (SELECT a AS node FROM bb UNION SELECT b FROM bb)
+  ORDER BY node LIMIT {GATE_N_SEEDS}"""
+
+
+def backbone_seeds(bb):
+    """Spark twin of _SEEDS_SQL over a materialized backbone frame."""
+    return (
+        bb.select(F.col("src").alias("node"))
+        .union(bb.select(F.col("dst").alias("node")))
+        .distinct()
+        .orderBy("node")
+        .limit(GATE_N_SEEDS)
+    )
 
 
 def _bfs_hops_oracle() -> str:
     """Unrolled multi-source BFS over the top-K co-occurrence backbone
     (DuckDB cannot aggregate inside a recursive CTE term, same
-    constraint as _pagerank_oracle / _kcore_oracle). Seeds are the
-    BFS_N_SEEDS smallest backbone node ids (deterministic, collation-
-    safe on ASCII ent_ids). A round with an empty frontier adds
+    constraint as _pagerank_oracle / _kcore_oracle). Seeds follow the
+    shared gate rule (_SEEDS_SQL). A round with an empty frontier adds
     nothing, so the engine's early break is bit-identical to the full
     unroll. Every CTE is AS MATERIALIZED (DuckDB default-inlines CTEs;
     a chain referencing predecessors explodes exponentially)."""
@@ -5433,9 +5452,7 @@ def _bfs_hops_oracle() -> str:
         f"""wu AS MATERIALIZED ({_WU_SQL}),
 bb AS MATERIALIZED ({_BB_SQL}),
 adj AS MATERIALIZED ({_adj_sql("bb")}),
-f0 AS MATERIALIZED (
-  SELECT node FROM (SELECT a AS node FROM bb UNION SELECT b FROM bb)
-  ORDER BY node LIMIT {BFS_N_SEEDS}),
+f0 AS MATERIALIZED ({_SEEDS_SQL}),
 v0 AS MATERIALIZED (SELECT node, CAST(0 AS BIGINT) AS hops FROM f0)"""
     ]
     for h in range(1, BFS_MAX_HOPS + 1):
@@ -5457,7 +5474,7 @@ v{h} AS MATERIALIZED (
 
 
 def _q_kg_graph_bfs_hops(spark, sf_dir):
-    """Minimum hop distance from the BFS_N_SEEDS lexicographically
+    """Minimum hop distance from the GATE_N_SEEDS lexicographically
     smallest backbone entities to every entity within BFS_MAX_HOPS,
     over the TWOHOP_TOPK_EDGES-strongest-edge backbone (the raw
     15-entity co-occurrence graph is complete, so BFS over it is
@@ -5469,13 +5486,7 @@ def _q_kg_graph_bfs_hops(spark, sf_dir):
 
     # consumed by the seed pick + the BFS itself -> materialize once
     bb = backbone(spark, sf_dir).localCheckpoint()
-    nodes = (
-        bb.select(F.col("src").alias("node"))
-        .union(bb.select(F.col("dst").alias("node")))
-        .distinct()
-    )
-    seeds = nodes.orderBy("node").limit(BFS_N_SEEDS)
-    return bfs_hops(bb, seeds, max_hops=BFS_MAX_HOPS).select(
+    return bfs_hops(bb, backbone_seeds(bb), max_hops=BFS_MAX_HOPS).select(
         F.col("node").alias("ent_id"), "hops"
     )
 
@@ -5690,7 +5701,6 @@ def _q_doc_novelty(spark, sf_dir):
     )
 
 
-PPR_N_SEEDS = 2
 PPR_ITERS = 4
 
 
@@ -5699,8 +5709,9 @@ def _ppr_oracle() -> str:
     backbone (the adj expansion doubles as the directed edge set, so
     co-occurrence mass flows both ways — the raw a<b orientation is an
     artifact of canonicalization, not direction). Teleport mass lands
-    only on the PPR_N_SEEDS smallest backbone nodes (same seed rule as
-    the BFS gate): r0 = scale on seeds / 0 elsewhere; per round the
+    only on the shared gate seed set (_SEEDS_SQL — the SAME fragment
+    the BFS gate interpolates): r0 = scale on seeds / 0 elsewhere; per
+    round the
     15% base term is added to seeds only. Same integer recursion as
     _pagerank_oracle otherwise (HUGEINT sums, // floors)."""
     from .ops.graph import PR_DAMP_DEN, PR_DAMP_NUM, PR_SCALE
@@ -5711,8 +5722,7 @@ def _ppr_oracle() -> str:
 bb AS MATERIALIZED ({_BB_SQL}),
 adj AS MATERIALIZED ({_adj_sql("bb")}),
 allnodes AS MATERIALIZED (SELECT DISTINCT u AS node FROM adj),
-seeds AS MATERIALIZED (
-  SELECT node FROM allnodes ORDER BY node LIMIT {PPR_N_SEEDS}),
+seeds AS MATERIALIZED ({_SEEDS_SQL}),
 nodes AS MATERIALIZED (
   SELECT a.node, CASE WHEN s.node IS NULL THEN 0 ELSE 1 END AS is_seed
   FROM allnodes a LEFT JOIN seeds s ON a.node = s.node),
@@ -5760,13 +5770,9 @@ def _q_kg_graph_ppr(spark, sf_dir):
     sym = bb.union(
         bb.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
     )
-    seeds = (
-        sym.select(F.col("src").alias("node"))
-        .distinct()
-        .orderBy("node")
-        .limit(PPR_N_SEEDS)
-    )
-    return pagerank(sym, iterations=PPR_ITERS, restart=seeds).select(
+    return pagerank(
+        sym, iterations=PPR_ITERS, restart=backbone_seeds(bb)
+    ).select(
         F.col("node").alias("ent_id"), "rank_scaled"
     )
 
@@ -6066,9 +6072,13 @@ PENDING_R6: dict = {
 # later never received a driver correctness row (round-3 verdict #1).
 # Since round 4 the window ROTATES: _DRIVER_WINDOWS records each
 # round's 50 (history kept so the union invariant is testable — every
-# registered query must have a driver row no older than two rounds,
-# i.e. appear in the current or previous window; enforced by
-# tests/test_queries_oracle.py::test_driver_window_union_invariant).
+# registered query must have a driver row no older than ceil(N/50)
+# rounds, the tightest freshness any schedule can guarantee at 50
+# rows/round (two windows while N <= 100; LRU rotation achieves the
+# bound for any N); enforced by
+# tests/test_queries_oracle.py::test_driver_window_union_invariant,
+# plus _MUST_REGATE below for semantics-changed queries whose old
+# rows gate outputs that no longer exist).
 # The local sweep covers all entries cell-exact regardless of order;
 # this block only chooses WHICH 50 the driver anchors each round.
 
