@@ -285,3 +285,24 @@ def test_bucketed_join_has_no_exchange(spark, tmp_path):
     finally:
         spark.sql("DROP TABLE IF EXISTS t_linked_b")
         spark.sql("DROP TABLE IF EXISTS t_sents_b")
+
+
+def test_pending_r6_queries_have_no_single_partition_exchange(spark):
+    """The non-iterative pending window-6 contracts must keep every
+    exchange hash-partitioned and every window keyed: the transition
+    matrix windows by src_type, the weakest-link argmin by node, the
+    novelty join by shingle, reciprocity by host. (The iterative gates
+    — HITS/PPR/harmonic/BFS — materialize per round via
+    localCheckpoint, so their final plan only shows the last join and
+    is pinned by the per-op unit tests instead.)"""
+    from easyner_spark.queries import PENDING_R6
+
+    for name in (
+        "events_type_transitions",
+        "kg_entity_weakest_link",
+        "doc_novelty",
+        "web_host_reciprocity",
+    ):
+        plan = _plan(PENDING_R6[name][0](spark, SF_DIR))
+        assert "Exchange SinglePartition" not in plan, name
+        assert "WindowExec: No Partition Defined" not in plan, name
