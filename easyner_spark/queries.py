@@ -5634,23 +5634,24 @@ def _q_kg_entity_weakest_link(spark, sf_dir):
     """Per-entity weakest relation — the minimum-evidence incident
     co-occurrence edge per node ((w, a, b) unique ⇒ deterministic
     argmin), i.e. the relations a KG curator re-checks first. The
-    argmin is a partitioned window over the doubled incidence frame
-    (per-node groups are degree-bounded — no single-partition
-    exchange; at web scale this is one shuffle keyed by node)."""
+    argmin is min(struct(w, a, b)) — lexicographic struct comparison
+    equals the (w ASC, a, b) order — as a MAP-SIDE-PARTIAL aggregate
+    over the doubled incidence: no per-node group is ever materialized
+    (a window row_number would buffer a hub entity's whole incidence
+    list in one task at web scale); the oracle keeps the independent
+    row_number formulation."""
     wu = wuedges(spark, sf_dir).localCheckpoint()  # two incidence consumers
     incid = wu.select(F.col("a").alias("u"), "a", "b", "w").union(
         wu.select(F.col("b").alias("u"), "a", "b", "w")
     )
-    win = W.partitionBy("u").orderBy("w", "a", "b")
+    m = F.col("m")
     return (
-        incid.withColumn("rn", F.row_number().over(win))
-        .filter(F.col("rn") == 1)
+        incid.groupBy("u")
+        .agg(F.min(F.struct("w", "a", "b")).alias("m"))
         .select(
             F.col("u").alias("ent_id"),
-            F.when(F.col("a") == F.col("u"), F.col("b"))
-            .otherwise(F.col("a"))
-            .alias("peer"),
-            F.col("w").cast("bigint").alias("w"),
+            F.when(m["a"] == F.col("u"), m["b"]).otherwise(m["a"]).alias("peer"),
+            m["w"].cast("bigint").alias("w"),
         )
     )
 
