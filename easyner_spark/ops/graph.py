@@ -283,13 +283,13 @@ def triangles(
     return _triangles_of(u)
 
 
-def _triangles_of(u: DataFrame) -> DataFrame:
-    """Wedge-closure body of :func:`triangles` over an ALREADY
-    canonical, materialized (a, b) frame — callers that have paid the
-    distinct/checkpoint (clustering_coefficient) skip a redundant
-    shuffle+materialization by entering here."""
+def _triangle_corners(u: DataFrame) -> DataFrame:
+    """Oriented wedge closure over an ALREADY canonical (a, b) frame →
+    one row (x, y, z), x < y < z, per triangle. Shared by the per-node
+    count (:func:`triangles`) and the per-edge support
+    (:func:`k_truss`)."""
     e1, e2, e3 = u.alias("e1"), u.alias("e2"), u.alias("e3")
-    tri = (
+    return (
         e1.join(e2, F.col("e1.b") == F.col("e2.a"))
         .join(
             e3,
@@ -301,8 +301,16 @@ def _triangles_of(u: DataFrame) -> DataFrame:
             F.col("e2.b").alias("z"),
         )
     )
+
+
+def _triangles_of(u: DataFrame) -> DataFrame:
+    """Wedge-closure body of :func:`triangles` over an ALREADY
+    canonical, materialized (a, b) frame — callers that have paid the
+    distinct/checkpoint (clustering_coefficient) skip a redundant
+    shuffle+materialization by entering here."""
     return (
-        tri.select(F.explode(F.array("x", "y", "z")).alias("node"))
+        _triangle_corners(u)
+        .select(F.explode(F.array("x", "y", "z")).alias("node"))
         .groupBy("node")
         .agg(F.count("*").cast("bigint").alias("n_triangles"))
     )
@@ -619,6 +627,71 @@ def bfs_hops(
     for lay in layers[1:]:
         out = out.union(lay)
     return out
+
+
+def _edge_support(u: DataFrame) -> DataFrame:
+    """Per-edge triangle support over a canonical, materialized (a, b)
+    frame → (a, b, support BIGINT): the number of triangles the edge
+    participates in (|N(a) ∩ N(b)|). Triangle-free edges are KEPT at
+    0 (left join) — the peel needs to see them to drop them. One
+    wedge closure + one explode-to-edges partial agg + one keyed left
+    join; fan-out bounded by oriented degree like :func:`triangles`."""
+    tedges = _triangle_corners(u).select(
+        F.explode(
+            F.array(
+                F.struct(F.col("x").alias("a"), F.col("y").alias("b")),
+                F.struct(F.col("y").alias("a"), F.col("z").alias("b")),
+                F.struct(F.col("x").alias("a"), F.col("z").alias("b")),
+            )
+        ).alias("e")
+    ).select("e.a", "e.b")
+    sup = tedges.groupBy("a", "b").agg(
+        F.count("*").cast("bigint").alias("support")
+    )
+    return u.join(sup, ["a", "b"], "left").select(
+        "a", "b", F.coalesce("support", F.lit(0)).cast("bigint").alias("support")
+    )
+
+
+def k_truss(
+    edges: DataFrame,
+    t: int,
+    src: str = "src",
+    dst: str = "dst",
+    max_iter: int | None = None,
+) -> DataFrame:
+    """k-truss peel → (a, b, support): edges of the maximal subgraph
+    in which every edge participates in ≥ t triangles, with their
+    support INSIDE that subgraph. The EDGE-level dense-core extractor
+    (stricter than k-core: a hub with many triangle-free spokes keeps
+    its k-core degree but loses every spoke here) — the standard
+    community-core primitive for KG neighborhoods.
+
+    Same peel discipline as :func:`k_core`: per round one support
+    computation (wedge closure + partial agg + keyed left join) and
+    one anti-join dropping weak edges, localCheckpointed so lineage
+    stays flat; the early-exit check is a 1-row aggregate. Rounds =
+    peel depth; ``max_iter`` bounds them explicitly (the result is
+    then the well-defined "max_iter-round peel", which a bounded
+    contract query can pin cross-engine; None runs to fixpoint).
+    ``max_iter=0`` returns the input graph's own supports.
+
+    Reference has no graph ops (frequency ranking only,
+    Aitslab/EasyNER scripts/analysis.py)."""
+    u = _undirected(edges, src, dst).localCheckpoint()
+    rounds = 0
+    while max_iter is None or rounds < max_iter:
+        weak = (
+            _edge_support(u)
+            .filter(F.col("support") < t)
+            .select("a", "b")
+            .localCheckpoint()
+        )
+        rounds += 1
+        if weak.limit(1).count() == 0:
+            break
+        u = u.join(weak, ["a", "b"], "left_anti").localCheckpoint()
+    return _edge_support(u)
 
 
 HITS_SCALE = 10**9

@@ -5656,6 +5656,72 @@ def _q_kg_entity_weakest_link(spark, sf_dir):
     )
 
 
+TRUSS_T = 1
+TRUSS_MAX_ITER = 3
+
+
+def _truss_oracle() -> str:
+    """Unrolled bounded k-truss peel over the top-K backbone: per
+    round re-derive per-edge triangle support (oriented closure →
+    3-edge explode → count) and keep edges with support >= t; after
+    TRUSS_MAX_ITER rounds emit the surviving edges with their final
+    in-subgraph support. An engine round with no weak edges breaks
+    early; the unroll recomputes an identical edge set, so the bounded
+    contract is exact either way. Every CTE AS MATERIALIZED (the
+    closure references its edge CTE three times)."""
+
+    def closure(r: int, src: str) -> str:
+        return f"""tri{r} AS MATERIALIZED (
+  SELECT e1.a AS x, e1.b AS y, e2.b AS z
+  FROM {src} e1 JOIN {src} e2 ON e1.b = e2.a
+                JOIN {src} e3 ON e3.a = e1.a AND e3.b = e2.b),
+te{r} AS MATERIALIZED (
+  SELECT x AS a, y AS b FROM tri{r}
+  UNION ALL SELECT y, z FROM tri{r}
+  UNION ALL SELECT x, z FROM tri{r}),
+sup{r} AS MATERIALIZED (
+  SELECT a, b, CAST(count(*) AS BIGINT) AS c FROM te{r} GROUP BY a, b)"""
+
+    ctes = [
+        f"""wu AS MATERIALIZED ({_WU_SQL}),
+e0 AS MATERIALIZED ({_BB_SQL})"""
+    ]
+    for r in range(1, TRUSS_MAX_ITER + 1):
+        ctes.append(closure(r, f"e{r - 1}"))
+        ctes.append(
+            f"""e{r} AS MATERIALIZED (
+  SELECT e.a, e.b FROM e{r - 1} e
+  JOIN sup{r} s ON e.a = s.a AND e.b = s.b
+  WHERE s.c >= {TRUSS_T})"""
+        )
+    ctes.append(closure(TRUSS_MAX_ITER + 1, f"e{TRUSS_MAX_ITER}"))
+    return (
+        _LINKED_CTE
+        + ",\n"
+        + ",\n".join(ctes)
+        + f"""
+SELECT e.a AS ent_a, e.b AS ent_b,
+       CAST(COALESCE(s.c, 0) AS BIGINT) AS support
+FROM e{TRUSS_MAX_ITER} e
+LEFT JOIN sup{TRUSS_MAX_ITER + 1} s ON e.a = s.a AND e.b = s.b"""
+    )
+
+
+def _q_kg_graph_truss(spark, sf_dir):
+    """Bounded k-truss peel over the top-K backbone: the edge-level
+    dense core (every surviving edge sits in >= TRUSS_T triangles of
+    the surviving subgraph, support recomputed per round) — stricter
+    than k-core, the standard community-core primitive. Bounded at
+    TRUSS_MAX_ITER rounds so the DuckDB unroll replays the identical
+    peel depth. Engine op: ops/graph.py::k_truss (same localCheckpoint
+    peel discipline as k_core)."""
+    from .ops.graph import k_truss
+
+    return k_truss(
+        backbone(spark, sf_dir), t=TRUSS_T, max_iter=TRUSS_MAX_ITER
+    ).select(F.col("a").alias("ent_a"), F.col("b").alias("ent_b"), "support")
+
+
 _NOVELTY_ORACLE = (
     _SHINGLES_CTE
     + """,
@@ -6051,6 +6117,7 @@ PENDING_R6: dict = {
     "web_host_reciprocity": (_q_web_host_reciprocity, _RECIPROCITY_ORACLE),
     "kg_entity_weakest_link": (_q_kg_entity_weakest_link, _WEAKEST_ORACLE),
     "doc_novelty": (_q_doc_novelty, _NOVELTY_ORACLE),
+    "kg_graph_truss": (_q_kg_graph_truss, _truss_oracle()),
     "web_host_linkrank": (
         _q_web_host_linkrank,
         _weighted_pagerank_oracle(

@@ -766,3 +766,38 @@ def test_personalized_pagerank_hand_computed(spark):
             ).collect()
         }
         assert got == expect, iters
+
+
+def _truss(spark, edges, t, max_iter=None):
+    from easyner_spark.ops.graph import k_truss
+
+    e = _edges(spark, edges)
+    return {
+        (r["a"], r["b"]): r["support"]
+        for r in k_truss(e, t, max_iter=max_iter).collect()
+    }
+
+
+def test_k_truss_kite_peels_pendant(spark):
+    """Kite (triangle A-B-C + pendant C-D): t=1 drops the pendant edge
+    (support 0) and keeps the triangle at support 1; t=2 peels
+    everything (after the pendant goes, no edge reaches 2)."""
+    kite = [("A", "B"), ("B", "C"), ("C", "A"), ("C", "D")]
+    assert _truss(spark, kite, 1) == {
+        ("A", "B"): 1, ("A", "C"): 1, ("B", "C"): 1,
+    }
+    assert _truss(spark, kite, 2) == {}
+
+
+def test_k_truss_shared_edge_support_and_bounded_peel(spark):
+    """Two triangles sharing edge B-C: the shared edge has support 2,
+    the others 1. t=2 cascades to empty at fixpoint; max_iter=1 stops
+    after ONE drop round (only B-C survives, its recomputed support
+    0), and max_iter=0 returns the input graph's own supports."""
+    g = [("A", "B"), ("B", "C"), ("A", "C"), ("C", "D"), ("B", "D")]
+    full = {("A", "B"): 1, ("A", "C"): 1, ("B", "C"): 2,
+            ("B", "D"): 1, ("C", "D"): 1}
+    assert _truss(spark, g, 1) == full
+    assert _truss(spark, g, 2) == {}
+    assert _truss(spark, g, 2, max_iter=1) == {("B", "C"): 0}
+    assert _truss(spark, g, 2, max_iter=0) == full
