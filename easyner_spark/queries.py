@@ -5656,6 +5656,85 @@ def _q_kg_entity_weakest_link(spark, sf_dir):
     )
 
 
+# 997 (prime) and char-weighted hosts: the synthetic corpus spreads
+# doc_id % 20 UNIFORMLY over hosts, so a round budget over doc counts
+# divides exactly (1000*25 % 500 == 0 — every remainder zero and the
+# bonus path vacuous); total text length varies per host and a prime
+# budget cannot divide it, so the largest-remainder step is exercised.
+CRAWL_BUDGET = 997
+
+_CRAWL_BUDGET_ORACLE = f"""
+WITH hw AS (
+  SELECT source AS host, CAST(SUM(length(text)) AS BIGINT) AS host_chars
+  FROM documents GROUP BY source),
+tot AS (SELECT CAST(SUM(host_chars) AS BIGINT) AS w FROM hw),
+q AS (
+  SELECT host, host_chars,
+         CAST({CRAWL_BUDGET} * host_chars // t.w AS BIGINT) AS quota_base,
+         CAST({CRAWL_BUDGET} * host_chars % t.w AS BIGINT) AS rem
+  FROM hw CROSS JOIN tot t),
+need AS (SELECT CAST({CRAWL_BUDGET} - SUM(quota_base) AS BIGINT) AS k FROM q),
+r AS (SELECT *, row_number() OVER (ORDER BY rem DESC, host) AS rnk FROM q)
+SELECT host, host_chars, quota_base,
+       CAST(CASE WHEN rnk <= d.k THEN 1 ELSE 0 END AS BIGINT) AS bonus,
+       CAST(quota_base + CASE WHEN rnk <= d.k THEN 1 ELSE 0 END
+            AS BIGINT) AS quota
+FROM r CROSS JOIN need d
+"""
+
+
+def _q_web_crawl_budget(spark, sf_dir):
+    """Exact crawl-budget apportionment: allocate CRAWL_BUDGET page
+    fetches across hosts proportional to host text volume by Hamilton's
+    largest-remainder method — floor quotas plus one bonus fetch to
+    the hosts with the largest remainders, ranked by (remainder DESC,
+    host) so the allocation is deterministic and Σ quota == budget
+    EXACTLY (float proportional shares never sum right; the integer
+    method is the one a crawl scheduler can actually dispatch). Scale:
+    one partial agg per host, two lazy 1-row scalars crossJoin-
+    broadcast, and the bonus rank is the zero-single-partition
+    two-phase rank over the (tiny, one-row-per-host) quota frame."""
+    hw = (
+        _read(spark, sf_dir, "documents")
+        .groupBy(F.col("source").alias("host"))
+        .agg(F.sum(F.length("text")).cast("bigint").alias("host_chars"))
+    )
+    tot = hw.agg(F.sum("host_chars").cast("bigint").alias("_w"))
+    q = (
+        hw.crossJoin(F.broadcast(tot))
+        .select(
+            "host",
+            "host_chars",
+            F.expr(f"CAST({CRAWL_BUDGET} * host_chars div _w AS BIGINT)").alias(
+                "quota_base"
+            ),
+            F.expr(f"CAST({CRAWL_BUDGET} * host_chars % _w AS BIGINT)").alias(
+                "rem"
+            ),
+        )
+    )
+    q = q.localCheckpoint()  # two consumers: the deficit scalar + the rank
+    need = q.agg(
+        (F.lit(CRAWL_BUDGET) - F.sum("quota_base")).cast("bigint").alias("_k")
+    )
+    ranked = _two_phase_rank(q, "rem", ["host"])
+    return (
+        ranked.crossJoin(F.broadcast(need))
+        .select(
+            "host",
+            "host_chars",
+            "quota_base",
+            F.expr("CAST(CASE WHEN rnk <= _k THEN 1 ELSE 0 END AS BIGINT)").alias(
+                "bonus"
+            ),
+            F.expr(
+                "CAST(quota_base + CASE WHEN rnk <= _k THEN 1 ELSE 0 END"
+                " AS BIGINT)"
+            ).alias("quota"),
+        )
+    )
+
+
 TRUSS_T = 1
 TRUSS_MAX_ITER = 3
 
@@ -6118,6 +6197,7 @@ PENDING_R6: dict = {
     "kg_entity_weakest_link": (_q_kg_entity_weakest_link, _WEAKEST_ORACLE),
     "doc_novelty": (_q_doc_novelty, _NOVELTY_ORACLE),
     "kg_graph_truss": (_q_kg_graph_truss, _truss_oracle()),
+    "web_crawl_budget": (_q_web_crawl_budget, _CRAWL_BUDGET_ORACLE),
     "web_host_linkrank": (
         _q_web_host_linkrank,
         _weighted_pagerank_oracle(
