@@ -680,18 +680,19 @@ def k_truss(
     Aitslab/EasyNER scripts/analysis.py)."""
     u = _undirected(edges, src, dst).localCheckpoint()
     rounds = 0
-    while max_iter is None or rounds < max_iter:
-        weak = (
-            _edge_support(u)
-            .filter(F.col("support") < t)
-            .select("a", "b")
-            .localCheckpoint()
-        )
-        rounds += 1
+    while True:
+        # ONE wedge closure per round: the same support frame drives
+        # the weak-edge drop, the fixpoint check, and (on the final
+        # round) the returned result — recomputing it after the break
+        # would double the expensive step of every fixpoint call
+        sup = _edge_support(u).localCheckpoint()
+        if max_iter is not None and rounds >= max_iter:
+            return sup
+        weak = sup.filter(F.col("support") < t).select("a", "b")
         if weak.limit(1).count() == 0:
-            break
+            return sup
+        rounds += 1
         u = u.join(weak, ["a", "b"], "left_anti").localCheckpoint()
-    return _edge_support(u)
 
 
 HITS_SCALE = 10**9

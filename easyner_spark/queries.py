@@ -5698,6 +5698,11 @@ def _q_web_crawl_budget(spark, sf_dir):
         _read(spark, sf_dir, "documents")
         .groupBy(F.col("source").alias("host"))
         .agg(F.sum(F.length("text")).cast("bigint").alias("host_chars"))
+        # feeds the 1-row total AND q's left side (and through q, the
+        # deficit scalar + the rank): checkpoint the scan+agg once; the
+        # downstream q/need projections are lazy and cheap on top of it
+        # (_two_phase_rank re-checkpoints only the tiny q frame)
+        .localCheckpoint()
     )
     tot = hw.agg(F.sum("host_chars").cast("bigint").alias("_w"))
     q = (
@@ -5713,7 +5718,6 @@ def _q_web_crawl_budget(spark, sf_dir):
             ),
         )
     )
-    q = q.localCheckpoint()  # two consumers: the deficit scalar + the rank
     need = q.agg(
         (F.lit(CRAWL_BUDGET) - F.sum("quota_base")).cast("bigint").alias("_k")
     )
@@ -5735,7 +5739,13 @@ def _q_web_crawl_budget(spark, sf_dir):
     )
 
 
-TRUSS_T = 1
+# t=2, NOT 1: with t=1 the peel provably converges after one round on
+# ANY graph (removing a support-0 edge destroys no triangle, so no
+# surviving edge's support changes), which would make the multi-round
+# bound vacuous; t=2 actually cascades (dropping a support-1 edge can
+# break its neighbors' triangles), so rounds 2-3 of the unroll pin the
+# engine's cascade path cross-engine.
+TRUSS_T = 2
 TRUSS_MAX_ITER = 3
 
 

@@ -291,10 +291,14 @@ def test_pending_r6_queries_have_no_single_partition_exchange(spark):
     """The non-iterative pending window-6 contracts must keep every
     exchange hash-partitioned and every window keyed: the transition
     matrix windows by src_type, the weakest-link argmin by node, the
-    novelty join by shingle, reciprocity by host. (The iterative gates
-    — HITS/PPR/harmonic/BFS — materialize per round via
-    localCheckpoint, so their final plan only shows the last join and
-    is pinned by the per-op unit tests instead.)"""
+    novelty join by shingle, reciprocity by host. Exclusions: the
+    iterative gates (HITS/PPR/harmonic/BFS/truss) materialize per
+    round via localCheckpoint so their final plan only shows the last
+    join (pinned by per-op unit tests instead), and web_crawl_budget
+    legitimately carries Exchange SinglePartition for its two 1-row
+    scalar aggregates (total weight, quota deficit) — 1-row scalars
+    are the one sanctioned single-partition shape (same exemption as
+    train_mixture_tokens)."""
     from easyner_spark.queries import PENDING_R6
 
     for name in (
