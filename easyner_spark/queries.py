@@ -6193,6 +6193,216 @@ def _q_events_type_transitions(spark, sf_dir):
     )
 
 
+_PMI_ORACLE = (
+    _LINKED_CTE
+    + """,
+pres AS (SELECT DISTINCT doc_id, sent_idx, ent_id FROM linked),
+ca AS (SELECT ent_id, CAST(count(*) AS BIGINT) AS c FROM pres GROUP BY ent_id),
+tot AS (SELECT CAST(count(*) AS BIGINT) AS n_sent
+        FROM (SELECT DISTINCT doc_id, sent_idx FROM pres) s),
+pairs AS (
+  SELECT p.ent_id AS a, q.ent_id AS b, CAST(count(*) AS BIGINT) AS n_ab
+  FROM pres p JOIN pres q
+    ON p.doc_id = q.doc_id AND p.sent_idx = q.sent_idx
+   AND p.ent_id < q.ent_id
+  GROUP BY 1, 2)
+SELECT a, b, n_ab, caa.c AS c_a, cab.c AS c_b,
+       CAST(CAST(n_ab AS HUGEINT) * n_sent * 1000000
+            // (CAST(caa.c AS HUGEINT) * cab.c) AS BIGINT) AS lift_ppm
+FROM pairs JOIN ca caa ON pairs.a = caa.ent_id
+           JOIN ca cab ON pairs.b = cab.ent_id
+           CROSS JOIN tot
+"""
+)
+
+
+def _q_kg_relation_pmi(spark, sf_dir):
+    """Log-free PMI (association lift) per co-occurring entity pair:
+    lift_ppm = P(a,b) / (P(a)·P(b)) in exact integer ppm =
+    (n_ab·N·1e6) div (c_a·c_b) over sentence-level presence — the
+    edge-weighting step that separates real relations from hub noise
+    before the co-occurrence graph is consumed (raw counts make every
+    frequent entity look related to everything; kg_triple_counts keeps
+    raw counts, this contract pins the normalized weight). No log()
+    (libm last-ulp drift, the float rule): the monotone transform
+    keeps ranking semantics and stays cross-engine exact in
+    DECIMAL(38,0) / HUGEINT. Scale: presence frame is distinct
+    (doc,sent,ent) — the pair self-join fans out per-sentence entity
+    count squared (bounded by sentence length, never corpus²), then a
+    partial agg to |V|² pairs max; per-entity counts join broadcast
+    (entity dim is the NEL vocabulary — the same broadcast-dim
+    assumption the gazetteer join makes); the 1-row sentence total is
+    the sanctioned crossJoin-broadcast scalar. Replaces the reference's
+    per-dict frequency tables (Aitslab/EasyNER scripts/analysis.py)
+    with a statistically normalized edge weight."""
+    pres = (
+        linked(spark, sf_dir)
+        .select("doc_id", "sent_idx", "ent_id")
+        .distinct()
+        # 4 consumers: both sides of the pair self-join, the per-entity
+        # counts, and the sentence total (Catalyst no-CSE rule)
+        .localCheckpoint()
+    )
+    ca = pres.groupBy("ent_id").agg(F.count("*").cast("bigint").alias("c"))
+    tot = (
+        pres.select("doc_id", "sent_idx")
+        .distinct()
+        .agg(F.count("*").cast("bigint").alias("n_sent"))
+    )
+    rhs = pres.select("doc_id", "sent_idx", F.col("ent_id").alias("b"))
+    pairs = (
+        pres.select("doc_id", "sent_idx", F.col("ent_id").alias("a"))
+        .join(rhs, ["doc_id", "sent_idx"])
+        .filter(F.col("a") < F.col("b"))
+        .groupBy("a", "b")
+        .agg(F.count("*").cast("bigint").alias("n_ab"))
+    )
+    return (
+        pairs.join(
+            F.broadcast(ca.select(F.col("ent_id").alias("a"), F.col("c").alias("c_a"))),
+            "a",
+        )
+        .join(
+            F.broadcast(ca.select(F.col("ent_id").alias("b"), F.col("c").alias("c_b"))),
+            "b",
+        )
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "a",
+            "b",
+            "n_ab",
+            "c_a",
+            "c_b",
+            F.expr(
+                "CAST(CAST(n_ab AS DECIMAL(38,0)) * n_sent * 1000000"
+                " div (CAST(c_a AS DECIMAL(38,0)) * c_b) AS BIGINT)"
+            ).alias("lift_ppm"),
+        )
+    )
+
+
+_PCT_ORACLE = (
+    _TOKS_CTE
+    + """,
+lens AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS len FROM toks GROUP BY doc_id),
+hist AS (SELECT len, CAST(count(*) AS BIGINT) AS cnt FROM lens GROUP BY len),
+cum AS (SELECT a.len, CAST(SUM(b.cnt) AS BIGINT) AS cum
+        FROM hist a JOIN hist b ON b.len <= a.len GROUP BY a.len),
+tot AS (SELECT CAST(SUM(cnt) AS BIGINT) AS n_docs FROM hist),
+pcts(pct) AS (VALUES (CAST(50 AS BIGINT)), (90), (99)),
+th AS (SELECT pct, n_docs, CAST((pct * n_docs + 99) // 100 AS BIGINT) AS k
+       FROM pcts CROSS JOIN tot)
+SELECT th.pct, th.n_docs, CAST(MIN(c.len) AS BIGINT) AS value
+FROM th JOIN cum c ON c.cum >= th.k
+GROUP BY th.pct, th.n_docs
+"""
+)
+
+
+def _q_doc_length_percentiles(spark, sf_dir):
+    """Exact corpus length percentiles (P50/P90/P99 of per-doc token
+    counts) WITHOUT a global sort: value(p) = min length whose
+    cumulative doc count ≥ ceil(p·n/100) — type-1 (lower) quantile,
+    the sequence-length budgeting table (max_seq_len / packing-bin
+    sizing) a training pipeline reads before tokenizing 100 TB.
+    Scale shape: per-doc counts partial-agg to a LENGTH HISTOGRAM
+    (|distinct lengths| ≤ max doc length, corpus-size-independent),
+    the cumulative sum is the theta self-join over that bounded
+    histogram (same zero-single-partition trick as _two_phase_rank —
+    never orderBy the corpus), thresholds come from the sanctioned
+    1-row total crossJoin, and the final pick is a 3-row broadcast
+    theta join + min. approx_percentile would be cheaper but is
+    sketch-dependent and cross-engine nondeterministic — this is the
+    exact-and-still-distributed version."""
+    lens = (
+        _doc_tokens(_read(spark, sf_dir, "documents"))
+        .groupBy("doc_id")
+        .agg(F.count("*").cast("bigint").alias("len"))
+    )
+    hist = (
+        lens.groupBy("len")
+        .agg(F.count("*").cast("bigint").alias("cnt"))
+        # 3 consumers: cum's both join sides + the total
+        .localCheckpoint()
+    )
+    h2 = hist.select(F.col("len").alias("_l2"), F.col("cnt").alias("_c2"))
+    cum = (
+        hist.join(F.broadcast(h2), F.col("_l2") <= F.col("len"))
+        .groupBy("len")
+        .agg(F.sum("_c2").cast("bigint").alias("cum"))
+    )
+    tot = hist.agg(F.sum("cnt").cast("bigint").alias("n_docs"))
+    th = (
+        spark.createDataFrame([(50,), (90,), (99,)], "pct bigint")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "pct",
+            "n_docs",
+            F.expr("CAST((pct * n_docs + 99) div 100 AS BIGINT)").alias("k"),
+        )
+    )
+    return (
+        cum.join(F.broadcast(th), F.col("cum") >= F.col("k"))
+        .groupBy("pct", "n_docs")
+        .agg(F.min("len").cast("bigint").alias("value"))
+    )
+
+
+_GINI_ORACLE = """
+WITH hw AS (
+  SELECT source AS host, CAST(SUM(length(text)) AS BIGINT) AS host_chars
+  FROM documents GROUP BY source),
+r AS (SELECT host_chars,
+             CAST(RANK() OVER (ORDER BY host_chars DESC, host) AS BIGINT) AS rnk
+      FROM hw),
+s AS (SELECT CAST(count(*) AS BIGINT) AS n_hosts,
+             CAST(SUM(host_chars) AS BIGINT) AS total_chars,
+             SUM(CAST(rnk AS HUGEINT) * host_chars) AS sd
+      FROM r)
+SELECT n_hosts, total_chars,
+       CAST(((CAST(n_hosts + 1 AS HUGEINT) * total_chars - 2 * sd) * 1000000)
+            // (CAST(n_hosts AS HUGEINT) * total_chars) AS BIGINT) AS gini_ppm
+FROM s
+"""
+
+
+def _q_web_host_gini(spark, sf_dir):
+    """Source-concentration Gini over per-host text volume, exact
+    integer ppm — the mixture-diversity dial crawl/curation monitors
+    watch (gini→1: the corpus is one domain wearing a trenchcoat;
+    gini→0: uniform source spread). Formula with DESCENDING ranks
+    (rank 1 = largest host, (host_chars, host) unique so the order is
+    total): G = ((n+1)·W − 2·Σ rnk·w) / (n·W), derived from the
+    classic ascending form via i_asc = n+1−rnk; the numerator is
+    provably ≥ 0 under desc ranks so floor-div agrees cross-engine.
+    Scale: one partial agg per host, the zero-single-partition
+    two-phase rank over the host frame, one final 1-row agg — no
+    global sort of anything corpus-sized; Σ rnk·w in DECIMAL(38,0) /
+    HUGEINT (rnk ≤ n_hosts, w ≤ total chars — int64² territory)."""
+    hw = (
+        _read(spark, sf_dir, "documents")
+        .groupBy(F.col("source").alias("host"))
+        .agg(F.sum(F.length("text")).cast("bigint").alias("host_chars"))
+    )
+    r = _two_phase_rank(hw, "host_chars", ["host"])
+    return (
+        r.agg(
+            F.count("*").cast("bigint").alias("n_hosts"),
+            F.sum("host_chars").cast("bigint").alias("total_chars"),
+            F.sum(F.expr("CAST(rnk AS DECIMAL(38,0)) * host_chars")).alias("sd"),
+        )
+        .select(
+            "n_hosts",
+            "total_chars",
+            F.expr(
+                "CAST(((CAST(n_hosts + 1 AS DECIMAL(38,0)) * total_chars - 2 * sd)"
+                " * 1000000) div (CAST(n_hosts AS DECIMAL(38,0)) * total_chars)"
+                " AS BIGINT)"
+            ).alias("gini_ppm"),
+        )
+    )
+
+
 # name -> (query fn, oracle sql); registered into QUERIES/ORACLES +
 # window 6 next round, alongside the forced kg_graph_two_hop /
 # index_postings_rare re-gates.
@@ -6208,6 +6418,9 @@ PENDING_R6: dict = {
     "doc_novelty": (_q_doc_novelty, _NOVELTY_ORACLE),
     "kg_graph_truss": (_q_kg_graph_truss, _truss_oracle()),
     "web_crawl_budget": (_q_web_crawl_budget, _CRAWL_BUDGET_ORACLE),
+    "kg_relation_pmi": (_q_kg_relation_pmi, _PMI_ORACLE),
+    "doc_length_percentiles": (_q_doc_length_percentiles, _PCT_ORACLE),
+    "web_host_gini": (_q_web_host_gini, _GINI_ORACLE),
     "web_host_linkrank": (
         _q_web_host_linkrank,
         _weighted_pagerank_oracle(
