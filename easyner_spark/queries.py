@@ -5663,10 +5663,26 @@ def _q_kg_entity_weakest_link(spark, sf_dir):
 # budget cannot divide it, so the largest-remainder step is exercised.
 CRAWL_BUDGET = 997
 
-_CRAWL_BUDGET_ORACLE = f"""
-WITH hw AS (
+# Per-host text volume (host, host_chars) — defined ONCE per engine
+# (same anti-drift rule as _WU_SQL/_BB_SQL): web_crawl_budget and
+# web_host_gini must agree on what "host volume" means, and each
+# Spark side must agree with its oracle twin.
+_HW_SQL = """
   SELECT source AS host, CAST(SUM(length(text)) AS BIGINT) AS host_chars
-  FROM documents GROUP BY source),
+  FROM documents GROUP BY source"""
+
+
+def _host_chars(spark, sf_dir):
+    """Spark twin of _HW_SQL: one partial agg per host."""
+    return (
+        _read(spark, sf_dir, "documents")
+        .groupBy(F.col("source").alias("host"))
+        .agg(F.sum(F.length("text")).cast("bigint").alias("host_chars"))
+    )
+
+
+_CRAWL_BUDGET_ORACLE = f"""
+WITH hw AS ({_HW_SQL}),
 tot AS (SELECT CAST(SUM(host_chars) AS BIGINT) AS w FROM hw),
 q AS (
   SELECT host, host_chars,
@@ -5694,16 +5710,11 @@ def _q_web_crawl_budget(spark, sf_dir):
     one partial agg per host, two lazy 1-row scalars crossJoin-
     broadcast, and the bonus rank is the zero-single-partition
     two-phase rank over the (tiny, one-row-per-host) quota frame."""
-    hw = (
-        _read(spark, sf_dir, "documents")
-        .groupBy(F.col("source").alias("host"))
-        .agg(F.sum(F.length("text")).cast("bigint").alias("host_chars"))
-        # feeds the 1-row total AND q's left side (and through q, the
-        # deficit scalar + the rank): checkpoint the scan+agg once; the
-        # downstream q/need projections are lazy and cheap on top of it
-        # (_two_phase_rank re-checkpoints only the tiny q frame)
-        .localCheckpoint()
-    )
+    # feeds the 1-row total AND q's left side (and through q, the
+    # deficit scalar + the rank): checkpoint the scan+agg once; the
+    # downstream q/need projections are lazy and cheap on top of it
+    # (_two_phase_rank re-checkpoints only the tiny q frame)
+    hw = _host_chars(spark, sf_dir).localCheckpoint()
     tot = hw.agg(F.sum("host_chars").cast("bigint").alias("_w"))
     q = (
         hw.crossJoin(F.broadcast(tot))
@@ -6348,10 +6359,8 @@ def _q_doc_length_percentiles(spark, sf_dir):
     )
 
 
-_GINI_ORACLE = """
-WITH hw AS (
-  SELECT source AS host, CAST(SUM(length(text)) AS BIGINT) AS host_chars
-  FROM documents GROUP BY source),
+_GINI_ORACLE = f"""
+WITH hw AS ({_HW_SQL}),
 r AS (SELECT host_chars,
              CAST(RANK() OVER (ORDER BY host_chars DESC, host) AS BIGINT) AS rnk
       FROM hw),
@@ -6379,12 +6388,7 @@ def _q_web_host_gini(spark, sf_dir):
     two-phase rank over the host frame, one final 1-row agg — no
     global sort of anything corpus-sized; Σ rnk·w in DECIMAL(38,0) /
     HUGEINT (rnk ≤ n_hosts, w ≤ total chars — int64² territory)."""
-    hw = (
-        _read(spark, sf_dir, "documents")
-        .groupBy(F.col("source").alias("host"))
-        .agg(F.sum(F.length("text")).cast("bigint").alias("host_chars"))
-    )
-    r = _two_phase_rank(hw, "host_chars", ["host"])
+    r = _two_phase_rank(_host_chars(spark, sf_dir), "host_chars", ["host"])
     return (
         r.agg(
             F.count("*").cast("bigint").alias("n_hosts"),

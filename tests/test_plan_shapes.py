@@ -291,7 +291,12 @@ def test_pending_r6_queries_have_no_single_partition_exchange(spark):
     """The non-iterative pending window-6 contracts must keep every
     exchange hash-partitioned and every window keyed: the transition
     matrix windows by src_type, the weakest-link argmin by node, the
-    novelty join by shingle, reciprocity by host. Exclusions: the
+    novelty join by shingle, reciprocity by host, the PMI pair
+    self-join by (doc, sent) / pair key, the percentile cumulative by
+    length, the Gini rank by the two-phase bucket. Their sanctioned
+    1-row scalar aggregates (PMI sentence total, percentile doc total,
+    Gini final) ride broadcast/checkpointed subtrees and contribute no
+    SinglePartition exchange at explain time. Exclusions: the
     iterative gates (HITS/PPR/harmonic/BFS/truss) materialize per
     round via localCheckpoint so their final plan only shows the last
     join (pinned by per-op unit tests instead), and web_crawl_budget
@@ -306,6 +311,9 @@ def test_pending_r6_queries_have_no_single_partition_exchange(spark):
         "kg_entity_weakest_link",
         "doc_novelty",
         "web_host_reciprocity",
+        "kg_relation_pmi",
+        "doc_length_percentiles",
+        "web_host_gini",
     ):
         plan = _plan(PENDING_R6[name][0](spark, SF_DIR))
         assert "Exchange SinglePartition" not in plan, name
