@@ -334,3 +334,97 @@ def test_hop_distances_random_graph_matches_sequential_bfs(spark):
             for r in hop_distances(df, max_hops=mh).collect()
         }
         assert got == expect, mh
+
+
+def _rand_undirected(rng, n_nodes, n_draws):
+    """Random simple undirected edge set mirroring _undirected's
+    canonicalization: least/greatest fold, self-loops dropped,
+    duplicates collapsed."""
+    edges = set()
+    for _ in range(n_draws):
+        a, b = rng.randrange(n_nodes), rng.randrange(n_nodes)
+        if a != b:
+            edges.add((min(a, b), max(a, b)))
+    return sorted(edges)
+
+
+def test_k_core_random_graph_matches_sequential_peel(spark):
+    """k_core on random sparse graphs vs the sequential peel, across
+    k and max_iter (bounded truncation + fixpoint): per engine round,
+    weak = nodes with degree < k in the CURRENT edge frame, rounds
+    counts weak-computations, edges touching a weak node drop, and
+    the result is the induced degrees (zero-degree nodes absent)."""
+    from easyner_spark.ops.graph import k_core
+
+    rng = random.Random(53)
+    edges = _rand_undirected(rng, 20, 45)
+    df = spark.createDataFrame(
+        [(str(a), str(b)) for a, b in edges], "src string, dst string"
+    )
+    for k, mi in ((2, None), (3, None), (2, 1), (3, 2), (2, 0)):
+        cur = set(edges)
+        rounds = 0
+        while mi is None or rounds < mi:
+            deg: dict[int, int] = {}
+            for a, b in cur:
+                deg[a] = deg.get(a, 0) + 1
+                deg[b] = deg.get(b, 0) + 1
+            weak = {n for n, d in deg.items() if d < k}
+            rounds += 1
+            if not weak:
+                break
+            cur = {(a, b) for a, b in cur if a not in weak and b not in weak}
+        expect: dict[str, int] = {}
+        for a, b in cur:
+            expect[str(a)] = expect.get(str(a), 0) + 1
+            expect[str(b)] = expect.get(str(b), 0) + 1
+        got = {
+            r["node"]: r["core_degree"]
+            for r in k_core(df, k=k, max_iter=mi).collect()
+        }
+        assert got == expect, (k, mi)
+
+
+def test_k_truss_random_graph_matches_sequential_peel(spark):
+    """k_truss on random graphs vs the sequential edge-support peel,
+    across t and max_iter: support = |N(a) ∩ N(b)| in the CURRENT
+    subgraph (triangle-free edges kept at 0), max_iter returns the
+    round-max_iter support frame (0 = raw supports), fixpoint returns
+    the surviving edges with their in-subgraph support."""
+    from easyner_spark.ops.graph import k_truss
+
+    rng = random.Random(59)
+    edges = _rand_undirected(rng, 14, 60)
+    df = spark.createDataFrame(
+        [(str(a), str(b)) for a, b in edges], "src string, dst string"
+    )
+
+    def supports(cur):
+        adj: dict[int, set[int]] = {}
+        for a, b in cur:
+            adj.setdefault(a, set()).add(b)
+            adj.setdefault(b, set()).add(a)
+        return {(a, b): len(adj[a] & adj[b]) for a, b in cur}
+
+    for t, mi in ((2, None), (3, None), (2, 1), (3, 2), (2, 0)):
+        cur = set(edges)
+        rounds = 0
+        while True:
+            sup = supports(cur)
+            if mi is not None and rounds >= mi:
+                break
+            weak = {e for e, s in sup.items() if s < t}
+            if not weak:
+                break
+            rounds += 1
+            cur -= weak
+        # the engine canonicalizes (a, b) with least/greatest on the
+        # STRING ids (lexicographic: '10' < '3'); mirror that here
+        expect = {
+            tuple(sorted((str(a), str(b)))): s for (a, b), s in sup.items()
+        }
+        got = {
+            tuple(sorted((r["a"], r["b"]))): r["support"]
+            for r in k_truss(df, t=t, max_iter=mi).collect()
+        }
+        assert got == expect, (t, mi)
