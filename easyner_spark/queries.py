@@ -6407,6 +6407,103 @@ def _q_web_host_gini(spark, sf_dir):
     )
 
 
+# Deterministic second labeling for the agreement gate: even-length
+# gazetteer terms swap op<->obj (9 of 15 terms — guaranteed
+# off-diagonal mass), odd-length keep their class. ONE definition,
+# interpolated into both engines.
+_GAZB_CASE = (
+    "CASE WHEN length(term) % 2 = 0 THEN"
+    " CASE class WHEN 'op' THEN 'obj' WHEN 'obj' THEN 'op' ELSE class END"
+    " ELSE class END"
+)
+
+_KAPPA_ORACLE = (
+    _TOKS_CTE
+    + f""",
+gaz(term, class) AS (VALUES {_sql_values_gaz()}),
+gazb AS (SELECT term, {_GAZB_CASE} AS class_b FROM gaz),
+lab AS (
+  SELECT COALESCE(g.class, 'O') AS la, COALESCE(b.class_b, 'O') AS lb
+  FROM toks t LEFT JOIN gaz g ON t.token = g.term
+              LEFT JOIN gazb b ON t.token = b.term),
+m AS (SELECT la, lb, CAST(count(*) AS BIGINT) AS n FROM lab GROUP BY 1, 2),
+r AS (SELECT la, CAST(SUM(n) AS BIGINT) AS rn FROM m GROUP BY la),
+c AS (SELECT lb, CAST(SUM(n) AS BIGINT) AS cn FROM m GROUP BY lb),
+s AS (SELECT SUM(CAST(rn AS HUGEINT) * cn) AS sc
+      FROM r JOIN c ON r.la = c.lb),
+d AS (SELECT CAST(COALESCE(SUM(n), 0) AS BIGINT) AS ag FROM m WHERE la = lb),
+tot AS (SELECT CAST(SUM(n) AS BIGINT) AS nt FROM m)
+SELECT nt AS n_tokens, ag AS n_agree, CAST(sc AS BIGINT) AS s_chance,
+       CAST(((CAST(nt AS HUGEINT) * ag - sc) * 1000000)
+            // (CAST(nt AS HUGEINT) * nt - sc) AS BIGINT) AS kappa_ppm
+FROM tot CROSS JOIN d CROSS JOIN s
+"""
+)
+
+
+def _q_eval_run_agreement_kappa(spark, sf_dir):
+    """Chance-corrected agreement (Cohen's kappa, exact integer ppm)
+    between two deterministic NER labelings of the full token stream —
+    the eval primitive that raw accuracy fakes on NER corpora: both
+    runs label ~all tokens 'O', so percent-agreement is ~1 regardless
+    of entity-level quality; kappa subtracts the chance term
+    pe = Σ_c row_c·col_c / n². All-integer form (no floats, no
+    division until the single final one): kappa_ppm =
+    ((n·d − s)·1e6) div (n² − s) with d = Σ diagonal, s = Σ row·col —
+    numerators exceed int64 at corpus scale (n²·1e6), so the products
+    run in DECIMAL(38,0) / HUGEINT. n·d ≥ s holds by construction here
+    (the shared 'O' mass keeps observed agreement above chance), so
+    floor/truncation division agrees cross-engine. Run B is the
+    even-length op<->obj class swap (_GAZB_CASE, 9/15 terms) — a
+    deterministic stand-in for a second model run. Scale: ONE shuffle
+    in the whole plan (combined partials of the ≤25-row confusion
+    matrix); marginals, diagonal, total and the kappa arithmetic all
+    run on that checkpointed tiny frame (crossJoin-broadcast 1-row
+    scalars, the sanctioned shape)."""
+    tk = tokens(spark, sf_dir).select("token")
+    ga = gaz_df(spark).select(
+        F.col("term").alias("_ta"), F.col("class").alias("_ca")
+    )
+    gb = gaz_df(spark).select(
+        F.col("term").alias("_tb"),
+        F.expr(_GAZB_CASE).alias("_cb"),
+    )
+    m = (
+        tk.join(F.broadcast(ga), F.col("token") == F.col("_ta"), "left")
+        .join(F.broadcast(gb), F.col("token") == F.col("_tb"), "left")
+        .groupBy(
+            F.coalesce("_ca", F.lit("O")).alias("la"),
+            F.coalesce("_cb", F.lit("O")).alias("lb"),
+        )
+        .agg(F.count("*").cast("bigint").alias("n"))
+        # 4 consumers: row marginals, col marginals, diagonal, total
+        .localCheckpoint()
+    )
+    rows_ = m.groupBy("la").agg(F.sum("n").cast("bigint").alias("rn"))
+    cols_ = m.groupBy("lb").agg(F.sum("n").cast("bigint").alias("cn"))
+    s = (
+        rows_.join(cols_, rows_["la"] == cols_["lb"])
+        .agg(F.sum(F.expr("CAST(rn AS DECIMAL(38,0)) * cn")).alias("sc"))
+    )
+    d = m.filter(F.col("la") == F.col("lb")).agg(
+        F.coalesce(F.sum("n"), F.lit(0)).cast("bigint").alias("ag")
+    )
+    tot = m.agg(F.sum("n").cast("bigint").alias("nt"))
+    return (
+        tot.crossJoin(F.broadcast(d))
+        .crossJoin(F.broadcast(s))
+        .select(
+            F.col("nt").alias("n_tokens"),
+            F.col("ag").alias("n_agree"),
+            F.col("sc").cast("bigint").alias("s_chance"),
+            F.expr(
+                "CAST(((CAST(nt AS DECIMAL(38,0)) * ag - sc) * 1000000)"
+                " div (CAST(nt AS DECIMAL(38,0)) * nt - sc) AS BIGINT)"
+            ).alias("kappa_ppm"),
+        )
+    )
+
+
 # name -> (query fn, oracle sql); registered into QUERIES/ORACLES +
 # window 6 next round, alongside the forced kg_graph_two_hop /
 # index_postings_rare re-gates.
@@ -6423,6 +6520,7 @@ PENDING_R6: dict = {
     "kg_graph_truss": (_q_kg_graph_truss, _truss_oracle()),
     "web_crawl_budget": (_q_web_crawl_budget, _CRAWL_BUDGET_ORACLE),
     "kg_relation_pmi": (_q_kg_relation_pmi, _PMI_ORACLE),
+    "eval_run_agreement_kappa": (_q_eval_run_agreement_kappa, _KAPPA_ORACLE),
     "doc_length_percentiles": (_q_doc_length_percentiles, _PCT_ORACLE),
     "web_host_gini": (_q_web_host_gini, _GINI_ORACLE),
     "web_host_linkrank": (
