@@ -6254,7 +6254,13 @@ def _q_kg_relation_pmi(spark, sf_dir):
         # counts, and the sentence total (Catalyst no-CSE rule)
         .localCheckpoint()
     )
-    ca = pres.groupBy("ent_id").agg(F.count("*").cast("bigint").alias("c"))
+    # tiny frame, two consumers (c_a and c_b broadcast sides) — without
+    # the checkpoint each side rescans pres and re-runs the agg
+    ca = (
+        pres.groupBy("ent_id")
+        .agg(F.count("*").cast("bigint").alias("c"))
+        .localCheckpoint()
+    )
     tot = (
         pres.select("doc_id", "sent_idx")
         .distinct()
@@ -6421,11 +6427,10 @@ _KAPPA_ORACLE = (
     _TOKS_CTE
     + f""",
 gaz(term, class) AS (VALUES {_sql_values_gaz()}),
-gazb AS (SELECT term, {_GAZB_CASE} AS class_b FROM gaz),
 lab AS (
-  SELECT COALESCE(g.class, 'O') AS la, COALESCE(b.class_b, 'O') AS lb
-  FROM toks t LEFT JOIN gaz g ON t.token = g.term
-              LEFT JOIN gazb b ON t.token = b.term),
+  SELECT COALESCE(g.class, 'O') AS la,
+         COALESCE({_GAZB_CASE}, 'O') AS lb
+  FROM toks t LEFT JOIN gaz g ON t.token = g.term),
 m AS (SELECT la, lb, CAST(count(*) AS BIGINT) AS n FROM lab GROUP BY 1, 2),
 r AS (SELECT la, CAST(SUM(n) AS BIGINT) AS rn FROM m GROUP BY la),
 c AS (SELECT lb, CAST(SUM(n) AS BIGINT) AS cn FROM m GROUP BY lb),
@@ -6433,7 +6438,9 @@ s AS (SELECT SUM(CAST(rn AS HUGEINT) * cn) AS sc
       FROM r JOIN c ON r.la = c.lb),
 d AS (SELECT CAST(COALESCE(SUM(n), 0) AS BIGINT) AS ag FROM m WHERE la = lb),
 tot AS (SELECT CAST(SUM(n) AS BIGINT) AS nt FROM m)
-SELECT nt AS n_tokens, ag AS n_agree, CAST(sc AS BIGINT) AS s_chance,
+SELECT nt AS n_tokens, ag AS n_agree,
+       CAST((sc * 1000000) // (CAST(nt AS HUGEINT) * nt) AS BIGINT)
+         AS chance_ppm,
        CAST(((CAST(nt AS HUGEINT) * ag - sc) * 1000000)
             // (CAST(nt AS HUGEINT) * nt - sc) AS BIGINT) AS kappa_ppm
 FROM tot CROSS JOIN d CROSS JOIN s
@@ -6461,16 +6468,16 @@ def _q_eval_run_agreement_kappa(spark, sf_dir):
     run on that checkpointed tiny frame (crossJoin-broadcast 1-row
     scalars, the sanctioned shape)."""
     tk = tokens(spark, sf_dir).select("token")
+    # ONE broadcast join yields both labelings: _cb is a pure function
+    # of (term, class), so a second join over the token stream would
+    # buy nothing but an extra broadcast exchange
     ga = gaz_df(spark).select(
-        F.col("term").alias("_ta"), F.col("class").alias("_ca")
-    )
-    gb = gaz_df(spark).select(
-        F.col("term").alias("_tb"),
+        F.col("term").alias("_ta"),
+        F.col("class").alias("_ca"),
         F.expr(_GAZB_CASE).alias("_cb"),
     )
     m = (
         tk.join(F.broadcast(ga), F.col("token") == F.col("_ta"), "left")
-        .join(F.broadcast(gb), F.col("token") == F.col("_tb"), "left")
         .groupBy(
             F.coalesce("_ca", F.lit("O")).alias("la"),
             F.coalesce("_cb", F.lit("O")).alias("lb"),
@@ -6495,7 +6502,12 @@ def _q_eval_run_agreement_kappa(spark, sf_dir):
         .select(
             F.col("nt").alias("n_tokens"),
             F.col("ag").alias("n_agree"),
-            F.col("sc").cast("bigint").alias("s_chance"),
+            # pe in bounded ppm (≤ 1e6) — raw s is ~n² and would
+            # overflow a BIGINT output column past n ≈ 3e9 tokens
+            F.expr(
+                "CAST((sc * 1000000) div (CAST(nt AS DECIMAL(38,0)) * nt)"
+                " AS BIGINT)"
+            ).alias("chance_ppm"),
             F.expr(
                 "CAST(((CAST(nt AS DECIMAL(38,0)) * ag - sc) * 1000000)"
                 " div (CAST(nt AS DECIMAL(38,0)) * nt - sc) AS BIGINT)"
