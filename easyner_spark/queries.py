@@ -6516,6 +6516,131 @@ def _q_eval_run_agreement_kappa(spark, sf_dir):
     )
 
 
+WM_DELAY_US = 3_600_000_000  # 1 h watermark delay
+WM_BUCKETS = 4096
+# Deterministic ingest disorder: 7 upload streams, stream k = events
+# with event_id % 7 == k, flushed 40·k arrival slots late. The raw
+# events table is perfectly in-order (ts monotone in event_id), which
+# would make every late count 0 at every SF — a vacuous gate (the
+# kg_graph_two_hop lesson); the jitter makes lateness REAL and
+# SF-DISCRIMINATING (mean inter-event gap shrinks 43 min → 26 s from
+# sf0.001 to sf0.1, so which streams cross the 1 h delay varies by SF).
+WM_JITTER = 40
+
+_WM_LATE_ORACLE = f"""
+WITH ev AS (
+  SELECT event_id,
+         CAST(event_id + (event_id % 7) * {WM_JITTER} AS BIGINT) AS akey,
+         event_type, CAST(epoch_us(ts) AS BIGINT) AS ts_us
+  FROM events),
+pm AS (
+  SELECT event_type, ts_us,
+         MAX(ts_us) OVER (ORDER BY akey, event_id
+                          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+           AS wm_max
+  FROM ev)
+SELECT event_type,
+       CAST(count(*) AS BIGINT) AS n_events,
+       CAST(SUM(CASE WHEN wm_max IS NOT NULL
+                      AND ts_us < wm_max - {WM_DELAY_US}
+                     THEN 1 ELSE 0 END) AS BIGINT) AS n_late,
+       CAST(SUM(CASE WHEN wm_max IS NOT NULL
+                      AND ts_us < wm_max - {WM_DELAY_US}
+                     THEN 1 ELSE 0 END) * 1000000 // count(*) AS BIGINT)
+         AS late_ppm
+FROM pm GROUP BY event_type
+"""
+
+
+def _q_events_watermark_late(spark, sf_dir):
+    """Watermark late-data audit (the batch twin of the streaming
+    ingest's 1 h watermark): an event is LATE iff its event time is
+    more than WM_DELAY_US behind the max event time of all events
+    that arrived before it (arrival order = event_id, the unique
+    total order) — exactly the rows `withWatermark("ts", "1 hour")`
+    would drop from a streaming aggregation; the audit tells you the
+    drop rate per type BEFORE you pick the delay. Arrival order =
+    (akey, event_id) with akey = event_id + (event_id % 7)·WM_JITTER
+    — the deterministic 7-stream ingest-disorder synthesis (see
+    WM_JITTER comment; the raw table is perfectly in-order, which
+    would gate nothing). The global running max is the classic
+    unpartitioned-window trap; here it is two-phase over ADAPTIVE
+    buckets: bkt = akey div ceil(range / WM_BUCKETS) (bucket count
+    bounded at 4096 for ANY corpus size — the 1-row max-key scalar
+    sets the width), bucket-local running max via a KEYED window,
+    cross-bucket prefix max via the broadcast theta join over the
+    ≤4096-row bucket-max table (same shape as _two_phase_rank's
+    offset join; two-level bucketing extends this to O(√n)-bounded
+    partitions if per-bucket rows outgrow a task). All arithmetic in
+    BIGINT epoch micros (the ts convention every events contract
+    shares — engine-native timestamps never cross the compare
+    boundary)."""
+    ev = (
+        _read(spark, sf_dir, "events")
+        .select(
+            "event_id",
+            F.expr(f"CAST(event_id + (event_id % 7) * {WM_JITTER} AS BIGINT)").alias(
+                "akey"
+            ),
+            "event_type",
+            F.unix_micros(F.col("ts").cast("timestamp")).alias("ts_us"),
+        )
+        # 3 consumers: the max-key scalar, the windowed frame, the
+        # bucket-max aggregate
+        .localCheckpoint()
+    )
+    width = ev.agg(
+        F.expr(f"CAST(max(akey) div {WM_BUCKETS} + 1 AS BIGINT)").alias("_w")
+    )
+    b = ev.crossJoin(F.broadcast(width)).withColumn(
+        "bkt", F.expr("CAST(akey div _w AS BIGINT)")
+    )
+    wloc = (
+        W.partitionBy("bkt")
+        .orderBy("akey", "event_id")
+        .rowsBetween(W.unboundedPreceding, -1)
+    )
+    loc = b.withColumn("lmax", F.max("ts_us").over(wloc))
+    bm = (
+        b.groupBy("bkt")
+        .agg(F.max("ts_us").alias("bmax"))
+        # consumed by both sides of the prefix theta join
+        .localCheckpoint()
+    )
+    prev = (
+        bm.join(
+            F.broadcast(
+                bm.select(F.col("bkt").alias("_b2"), F.col("bmax").alias("_m2"))
+            ),
+            F.col("_b2") < F.col("bkt"),
+            "left",
+        )
+        .groupBy("bkt")
+        .agg(F.max("_m2").alias("pmax"))
+    )
+    late = F.expr(
+        f"CASE WHEN greatest(lmax, pmax) IS NOT NULL"
+        f" AND ts_us < greatest(lmax, pmax) - {WM_DELAY_US}"
+        f" THEN 1 ELSE 0 END"
+    )
+    return (
+        loc.join(F.broadcast(prev), "bkt")
+        .groupBy("event_type")
+        .agg(
+            F.count("*").cast("bigint").alias("n_events"),
+            F.sum(late).cast("bigint").alias("n_late"),
+        )
+        .select(
+            "event_type",
+            "n_events",
+            "n_late",
+            F.expr("CAST(n_late * 1000000 div n_events AS BIGINT)").alias(
+                "late_ppm"
+            ),
+        )
+    )
+
+
 # name -> (query fn, oracle sql); registered into QUERIES/ORACLES +
 # window 6 next round, alongside the forced kg_graph_two_hop /
 # index_postings_rare re-gates.
@@ -6533,6 +6658,7 @@ PENDING_R6: dict = {
     "web_crawl_budget": (_q_web_crawl_budget, _CRAWL_BUDGET_ORACLE),
     "kg_relation_pmi": (_q_kg_relation_pmi, _PMI_ORACLE),
     "eval_run_agreement_kappa": (_q_eval_run_agreement_kappa, _KAPPA_ORACLE),
+    "events_watermark_late": (_q_events_watermark_late, _WM_LATE_ORACLE),
     "doc_length_percentiles": (_q_doc_length_percentiles, _PCT_ORACLE),
     "web_host_gini": (_q_web_host_gini, _GINI_ORACLE),
     "web_host_linkrank": (

@@ -315,6 +315,7 @@ def test_pending_r6_queries_have_no_single_partition_exchange(spark):
         "doc_length_percentiles",
         "web_host_gini",
         "eval_run_agreement_kappa",
+        "events_watermark_late",
     ):
         plan = _plan(PENDING_R6[name][0](spark, SF_DIR))
         assert "Exchange SinglePartition" not in plan, name
