@@ -6641,6 +6641,80 @@ def _q_events_watermark_late(spark, sf_dir):
     )
 
 
+_NEGSAMPLE_ORACLE = (
+    _LINKED_CTE
+    + f""",
+wu AS MATERIALIZED ({_WU_SQL}),
+bb AS MATERIALIZED ({_BB_SQL}),
+ents AS (SELECT a AS cand FROM bb UNION SELECT b FROM bb),
+cands AS (
+  SELECT bb.a AS subj, bb.b AS obj, e.cand,
+         md5(bb.a || '|' || bb.b || '|' || e.cand) AS h
+  FROM bb CROSS JOIN ents e
+  WHERE e.cand <> bb.a
+    AND NOT EXISTS (SELECT 1 FROM bb t
+                    WHERE t.a = least(bb.a, e.cand)
+                      AND t.b = greatest(bb.a, e.cand)))
+SELECT subj, obj, substr(min(h || '|' || cand), 34) AS neg_obj
+FROM cands GROUP BY subj, obj
+"""
+)
+
+
+def _q_kg_negative_samples(spark, sf_dir):
+    """Deterministic negative sampling for KG-embedding training
+    (TransE-style corrupt-object generation): for every strong
+    relation (subj, obj) in the backbone KG, emit the corrupted
+    object — the hash-first entity cand such that (subj, cand) is NOT
+    a backbone edge (filtered negative sampling: candidates that are
+    themselves true relations would train the wrong sign) and cand ≠
+    subj. "Hash-first" = argmin of md5(subj|obj|cand) — a seedless
+    cross-engine stand-in for a uniform draw (no RNG in contracts;
+    same md5-family trick as _md5_sig_cols), realized as
+    min(h || '|' || cand) + substr so the argmin needs no window.
+    Non-vacuity: the raw 15-entity co-occurrence graph is COMPLETE at
+    every SF (no negative exists — the kg_graph_two_hop lesson), so
+    the gate runs over the sparse top-K backbone (TWOHOP_TOPK_EDGES
+    strongest edges) and corrupts within its node vocabulary. Scale: backbone is the
+    two-phase-ranked strong-edge cut (bounded), candidates = edges ×
+    broadcast node dim with the membership anti-join on the
+    canonicalized pair key, then one partial-agg argmin per edge —
+    at production scale the node dim becomes a hash-bucketed sample
+    and the anti-join key stays identical."""
+    bb = backbone(spark, sf_dir).localCheckpoint()  # (src, dst)
+    ents = (
+        bb.select(F.col("src").alias("cand"))
+        .union(bb.select("dst"))
+        .distinct()
+    )
+    cands = (
+        bb.crossJoin(F.broadcast(ents))
+        .filter(F.col("cand") != F.col("src"))
+        .withColumn("_ka", F.least("src", "cand"))
+        .withColumn("_kb", F.greatest("src", "cand"))
+    )
+    valid = cands.join(
+        bb.select(
+            F.least("src", "dst").alias("_ka"),
+            F.greatest("src", "dst").alias("_kb"),
+        ),
+        ["_ka", "_kb"],
+        "left_anti",
+    ).withColumn(
+        "h",
+        F.md5(
+            F.concat(
+                F.col("src"), F.lit("|"), F.col("dst"), F.lit("|"), F.col("cand")
+            ).cast("binary")
+        ),
+    )
+    return (
+        valid.groupBy(F.col("src").alias("subj"), F.col("dst").alias("obj"))
+        .agg(F.min(F.concat("h", F.lit("|"), "cand")).alias("_m"))
+        .select("subj", "obj", F.expr("substring(_m, 34)").alias("neg_obj"))
+    )
+
+
 # name -> (query fn, oracle sql); registered into QUERIES/ORACLES +
 # window 6 next round, alongside the forced kg_graph_two_hop /
 # index_postings_rare re-gates.
@@ -6659,6 +6733,7 @@ PENDING_R6: dict = {
     "kg_relation_pmi": (_q_kg_relation_pmi, _PMI_ORACLE),
     "eval_run_agreement_kappa": (_q_eval_run_agreement_kappa, _KAPPA_ORACLE),
     "events_watermark_late": (_q_events_watermark_late, _WM_LATE_ORACLE),
+    "kg_negative_samples": (_q_kg_negative_samples, _NEGSAMPLE_ORACLE),
     "doc_length_percentiles": (_q_doc_length_percentiles, _PCT_ORACLE),
     "web_host_gini": (_q_web_host_gini, _GINI_ORACLE),
     "web_host_linkrank": (
