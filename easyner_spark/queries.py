@@ -6316,6 +6316,31 @@ GROUP BY th.pct, th.n_docs
 )
 
 
+def _bucket_prefix_agg(tbl, key, val, agg_fn, out, inclusive=False):
+    """Prefix aggregate over a BOUNDED, already-materialized bucket
+    table (length histogram, arrival-bucket maxima, ...) without a
+    global window: broadcast theta self-join + keyed agg — the
+    cumulative counterpart of _two_phase_rank's offset join.
+    (_two_phase_rank keeps its own inline copy deliberately: its rank
+    and offset consumers share one exchange via ReusedExchange, which
+    routing through a checkpointed helper would sever.) LEFT join so
+    the first bucket survives (agg over zero rows → NULL; callers
+    coalesce if they need a zero). Caller MUST pass a
+    localCheckpointed/materialized frame — both join sides consume
+    it, and Catalyst does not dedupe the fan-out."""
+    rhs = tbl.select(F.col(key).alias("_pk2"), F.col(val).alias("_pv2"))
+    cond = (
+        (F.col("_pk2") <= F.col(key))
+        if inclusive
+        else (F.col("_pk2") < F.col(key))
+    )
+    return (
+        tbl.join(F.broadcast(rhs), cond, "left")
+        .groupBy(key)
+        .agg(agg_fn(F.col("_pv2")).alias(out))
+    )
+
+
 def _q_doc_length_percentiles(spark, sf_dir):
     """Exact corpus length percentiles (P50/P90/P99 of per-doc token
     counts) WITHOUT a global sort: value(p) = min length whose
@@ -6342,11 +6367,13 @@ def _q_doc_length_percentiles(spark, sf_dir):
         # 3 consumers: cum's both join sides + the total
         .localCheckpoint()
     )
-    h2 = hist.select(F.col("len").alias("_l2"), F.col("cnt").alias("_c2"))
-    cum = (
-        hist.join(F.broadcast(h2), F.col("_l2") <= F.col("len"))
-        .groupBy("len")
-        .agg(F.sum("_c2").cast("bigint").alias("cum"))
+    cum = _bucket_prefix_agg(
+        hist,
+        "len",
+        "cnt",
+        lambda c: F.sum(c).cast("bigint"),
+        "cum",
+        inclusive=True,
     )
     tot = hist.agg(F.sum("cnt").cast("bigint").alias("n_docs"))
     th = (
@@ -6592,8 +6619,12 @@ def _q_events_watermark_late(spark, sf_dir):
     width = ev.agg(
         F.expr(f"CAST(max(akey) div {WM_BUCKETS} + 1 AS BIGINT)").alias("_w")
     )
-    b = ev.crossJoin(F.broadcast(width)).withColumn(
-        "bkt", F.expr("CAST(akey div _w AS BIGINT)")
+    b = (
+        ev.crossJoin(F.broadcast(width))
+        .withColumn("bkt", F.expr("CAST(akey div _w AS BIGINT)"))
+        # 2 consumers (the keyed window + the bucket-max agg) — without
+        # this the width agg job and the crossJoin projection run twice
+        .localCheckpoint()
     )
     wloc = (
         W.partitionBy("bkt")
@@ -6607,17 +6638,7 @@ def _q_events_watermark_late(spark, sf_dir):
         # consumed by both sides of the prefix theta join
         .localCheckpoint()
     )
-    prev = (
-        bm.join(
-            F.broadcast(
-                bm.select(F.col("bkt").alias("_b2"), F.col("bmax").alias("_m2"))
-            ),
-            F.col("_b2") < F.col("bkt"),
-            "left",
-        )
-        .groupBy("bkt")
-        .agg(F.max("_m2").alias("pmax"))
-    )
+    prev = _bucket_prefix_agg(bm, "bkt", "bmax", F.max, "pmax")
     late = F.expr(
         f"CASE WHEN greatest(lmax, pmax) IS NOT NULL"
         f" AND ts_us < greatest(lmax, pmax) - {WM_DELAY_US}"
