@@ -41,8 +41,26 @@ def canon(df: pd.DataFrame) -> pd.DataFrame:
 
 
 def compare_query(spark, sf_dir: str, name: str, spark_fn, oracle_sql: str) -> str | None:
-    """Returns None on match, else a human-readable diff summary."""
-    sdf = spark_fn(spark, sf_dir).toPandas()
+    """Returns None on match, else a human-readable diff summary.
+
+    Also ENFORCES the scalar-only output invariant (CLAUDE.md): the
+    driver's canonicalizer sorts raw pandas columns and crashes on
+    list cells (`unhashable type: 'list'` — the round-4
+    embed_label_centroids red row), while _norm_cell below stringifies
+    them, so a local pass would otherwise hide the driver failure."""
+    df = spark_fn(spark, sf_dir)
+    nonscalar = [
+        f.name
+        for f in df.schema.fields
+        if f.dataType.typeName() in ("array", "map", "struct")
+    ]
+    if nonscalar:
+        return (
+            f"{name}: non-scalar output columns {nonscalar} — the driver "
+            "hasher cannot canonicalize array/map/struct cells; explode to "
+            "per-element rows or render a deterministic string"
+        )
+    sdf = df.toPandas()
     con = duck_con(sf_dir)
     ddf = con.execute(oracle_sql).df()
     con.close()
