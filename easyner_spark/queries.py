@@ -6736,6 +6736,108 @@ def _q_kg_negative_samples(spark, sf_dir):
     )
 
 
+# outlier iff |len - median| > MAD_K * MAD. K=2, NOT the textbook 3:
+# the synthetic doc lengths are bounded 10..100 around median ~55, so
+# 3·MAD (≈66) exceeds the maximum possible deviation (≈46) and the
+# outlier branch would be VACUOUS at every SF (the two-hop lesson);
+# 2·MAD catches the real short-stub tail (~10 docs at sf0.001, ~100 at
+# sf0.1) so the gate pins the filtered-sum path with live mass.
+MAD_K = 2
+
+_MAD_ORACLE = (
+    _TOKS_CTE
+    + f""",
+lens AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS len FROM toks GROUP BY doc_id),
+hist AS (SELECT len, CAST(count(*) AS BIGINT) AS cnt FROM lens GROUP BY len),
+tot AS (SELECT CAST(SUM(cnt) AS BIGINT) AS n FROM hist),
+med AS (SELECT CAST(MIN(len) AS BIGINT) AS m
+        FROM (SELECT len, SUM(cnt) OVER (ORDER BY len) AS cum FROM hist) h
+             CROSS JOIN tot
+        WHERE cum >= (n + 1) // 2),
+devh AS (SELECT CAST(abs(len - m) AS BIGINT) AS d, CAST(SUM(cnt) AS BIGINT) AS c
+         FROM hist CROSS JOIN med GROUP BY 1),
+madq AS (SELECT CAST(MIN(d) AS BIGINT) AS mad
+         FROM (SELECT d, SUM(c) OVER (ORDER BY d) AS cum FROM devh) x
+              CROSS JOIN tot
+         WHERE cum >= (n + 1) // 2),
+outl AS (SELECT CAST(COALESCE(SUM(c), 0) AS BIGINT) AS no
+         FROM devh CROSS JOIN madq WHERE d > {MAD_K} * mad)
+SELECT n AS n_docs, m AS median_len, mad AS mad_len, no AS n_outliers,
+       CAST(no * 1000000 // n AS BIGINT) AS outlier_ppm
+FROM tot CROSS JOIN med CROSS JOIN madq CROSS JOIN outl
+"""
+)
+
+
+def _q_doc_length_outliers(spark, sf_dir):
+    """Robust length-outlier screen: median + MAD (median absolute
+    deviation) of per-doc token counts, and the count/ppm of docs with
+    |len − median| > MAD_K·MAD — the outlier rule curation uses where
+    mean/stddev would be dragged by the very tail it is hunting
+    (boilerplate stubs, concatenation blobs). Everything exact
+    integers: median and MAD are type-1 order statistics (smallest
+    value with cumulative count ≥ ceil(n/2)) computed TWICE through
+    the shared _bucket_prefix_agg histogram prefix — lengths partial-
+    agg to a corpus-size-independent histogram, the deviation
+    histogram folds |len − m| over it (1-row median crossJoin), and
+    the outlier count is a filtered sum over that tiny frame. No
+    global sort anywhere; the corpus is touched exactly once."""
+    lens = (
+        _doc_tokens(_read(spark, sf_dir, "documents"))
+        .groupBy("doc_id")
+        .agg(F.count("*").cast("bigint").alias("len"))
+    )
+    hist = (
+        lens.groupBy("len")
+        .agg(F.count("*").cast("bigint").alias("cnt"))
+        # consumers: cum (both theta sides), total, deviation fold
+        .localCheckpoint()
+    )
+    tot = hist.agg(F.sum("cnt").cast("bigint").alias("n"))
+    cum = _bucket_prefix_agg(
+        hist, "len", "cnt", lambda c: F.sum(c).cast("bigint"), "cum",
+        inclusive=True,
+    )
+    med = (
+        cum.crossJoin(F.broadcast(tot))
+        .filter(F.expr("cum >= (n + 1) div 2"))
+        .agg(F.min("len").cast("bigint").alias("m"))
+    )
+    devh = (
+        hist.crossJoin(F.broadcast(med))
+        .groupBy(F.expr("CAST(abs(len - m) AS BIGINT)").alias("d"))
+        .agg(F.sum("cnt").cast("bigint").alias("c"))
+        # consumers: cum (both theta sides), outlier sum
+        .localCheckpoint()
+    )
+    dcum = _bucket_prefix_agg(
+        devh, "d", "c", lambda c: F.sum(c).cast("bigint"), "cum",
+        inclusive=True,
+    )
+    mad = (
+        dcum.crossJoin(F.broadcast(tot))
+        .filter(F.expr("cum >= (n + 1) div 2"))
+        .agg(F.min("d").cast("bigint").alias("mad"))
+    )
+    outl = (
+        devh.crossJoin(F.broadcast(mad))
+        .filter(F.expr(f"d > {MAD_K} * mad"))
+        .agg(F.coalesce(F.sum("c"), F.lit(0)).cast("bigint").alias("no"))
+    )
+    return (
+        tot.crossJoin(F.broadcast(med))
+        .crossJoin(F.broadcast(mad))
+        .crossJoin(F.broadcast(outl))
+        .select(
+            F.col("n").alias("n_docs"),
+            F.col("m").alias("median_len"),
+            F.col("mad").alias("mad_len"),
+            F.col("no").alias("n_outliers"),
+            F.expr("CAST(no * 1000000 div n AS BIGINT)").alias("outlier_ppm"),
+        )
+    )
+
+
 # name -> (query fn, oracle sql); registered into QUERIES/ORACLES +
 # window 6 next round, alongside the forced kg_graph_two_hop /
 # index_postings_rare re-gates.
@@ -6755,6 +6857,7 @@ PENDING_R6: dict = {
     "eval_run_agreement_kappa": (_q_eval_run_agreement_kappa, _KAPPA_ORACLE),
     "events_watermark_late": (_q_events_watermark_late, _WM_LATE_ORACLE),
     "kg_negative_samples": (_q_kg_negative_samples, _NEGSAMPLE_ORACLE),
+    "doc_length_outliers": (_q_doc_length_outliers, _MAD_ORACLE),
     "doc_length_percentiles": (_q_doc_length_percentiles, _PCT_ORACLE),
     "web_host_gini": (_q_web_host_gini, _GINI_ORACLE),
     "web_host_linkrank": (

@@ -428,3 +428,30 @@ def test_k_truss_random_graph_matches_sequential_peel(spark):
             for r in k_truss(df, t=t, max_iter=mi).collect()
         }
         assert got == expect, (t, mi)
+
+
+def test_bucket_prefix_agg_random_matches_sequential(spark):
+    """_bucket_prefix_agg (the shared broadcast theta prefix shape) vs
+    a sequential prefix on random bucket tables, across agg function
+    (sum/max) and inclusivity; first bucket must survive as NULL in
+    the strict variant."""
+    from easyner_spark.queries import _bucket_prefix_agg
+
+    rng = random.Random(61)
+    rows = [(k, rng.randrange(-50, 50)) for k in rng.sample(range(100), 17)]
+    df = spark.createDataFrame(rows, "k bigint, v bigint").localCheckpoint()
+    ordered = sorted(rows)
+    for agg_fn, py_fn in ((F.sum, sum), (F.max, max)):
+        for inclusive in (False, True):
+            expect = {}
+            for i, (k, _v) in enumerate(ordered):
+                lo = i + 1 if inclusive else i
+                vals = [v for _k, v in ordered[:lo]]
+                expect[k] = py_fn(vals) if vals else None
+            got = {
+                r["k"]: r["p"]
+                for r in _bucket_prefix_agg(
+                    df, "k", "v", agg_fn, "p", inclusive=inclusive
+                ).collect()
+            }
+            assert got == expect, (py_fn.__name__, inclusive)
