@@ -6298,11 +6298,37 @@ def _q_kg_relation_pmi(spark, sf_dir):
     )
 
 
+# Per-doc token-length HISTOGRAM — defined ONCE per engine (same
+# anti-drift rule as _WU_SQL/_HW_SQL): doc_length_percentiles and
+# doc_length_outliers must agree on what "doc length" means, in both
+# Spark and SQL form.
+_LEN_HIST_SQL = """
+lens AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS len FROM toks GROUP BY doc_id),
+hist AS (SELECT len, CAST(count(*) AS BIGINT) AS cnt FROM lens GROUP BY len)"""
+
+
+def _len_hist(spark, sf_dir):
+    """Spark twin of _LEN_HIST_SQL: per-doc token counts partial-agged
+    to the corpus-size-independent length histogram, localCheckpointed
+    (every consumer fans out at least three ways: both theta sides of
+    the cumulative join plus the total)."""
+    lens = (
+        _doc_tokens(_read(spark, sf_dir, "documents"))
+        .groupBy("doc_id")
+        .agg(F.count("*").cast("bigint").alias("len"))
+    )
+    return (
+        lens.groupBy("len")
+        .agg(F.count("*").cast("bigint").alias("cnt"))
+        .localCheckpoint()
+    )
+
+
 _PCT_ORACLE = (
     _TOKS_CTE
+    + ","
+    + _LEN_HIST_SQL
     + """,
-lens AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS len FROM toks GROUP BY doc_id),
-hist AS (SELECT len, CAST(count(*) AS BIGINT) AS cnt FROM lens GROUP BY len),
 cum AS (SELECT a.len, CAST(SUM(b.cnt) AS BIGINT) AS cum
         FROM hist a JOIN hist b ON b.len <= a.len GROUP BY a.len),
 tot AS (SELECT CAST(SUM(cnt) AS BIGINT) AS n_docs FROM hist),
@@ -6356,17 +6382,7 @@ def _q_doc_length_percentiles(spark, sf_dir):
     theta join + min. approx_percentile would be cheaper but is
     sketch-dependent and cross-engine nondeterministic — this is the
     exact-and-still-distributed version."""
-    lens = (
-        _doc_tokens(_read(spark, sf_dir, "documents"))
-        .groupBy("doc_id")
-        .agg(F.count("*").cast("bigint").alias("len"))
-    )
-    hist = (
-        lens.groupBy("len")
-        .agg(F.count("*").cast("bigint").alias("cnt"))
-        # 3 consumers: cum's both join sides + the total
-        .localCheckpoint()
-    )
+    hist = _len_hist(spark, sf_dir)
     cum = _bucket_prefix_agg(
         hist,
         "len",
@@ -6746,9 +6762,9 @@ MAD_K = 2
 
 _MAD_ORACLE = (
     _TOKS_CTE
+    + ","
+    + _LEN_HIST_SQL
     + f""",
-lens AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS len FROM toks GROUP BY doc_id),
-hist AS (SELECT len, CAST(count(*) AS BIGINT) AS cnt FROM lens GROUP BY len),
 tot AS (SELECT CAST(SUM(cnt) AS BIGINT) AS n FROM hist),
 med AS (SELECT CAST(MIN(len) AS BIGINT) AS m
         FROM (SELECT len, SUM(cnt) OVER (ORDER BY len) AS cum FROM hist) h
@@ -6782,17 +6798,7 @@ def _q_doc_length_outliers(spark, sf_dir):
     histogram folds |len − m| over it (1-row median crossJoin), and
     the outlier count is a filtered sum over that tiny frame. No
     global sort anywhere; the corpus is touched exactly once."""
-    lens = (
-        _doc_tokens(_read(spark, sf_dir, "documents"))
-        .groupBy("doc_id")
-        .agg(F.count("*").cast("bigint").alias("len"))
-    )
-    hist = (
-        lens.groupBy("len")
-        .agg(F.count("*").cast("bigint").alias("cnt"))
-        # consumers: cum (both theta sides), total, deviation fold
-        .localCheckpoint()
-    )
+    hist = _len_hist(spark, sf_dir)
     tot = hist.agg(F.sum("cnt").cast("bigint").alias("n"))
     cum = _bucket_prefix_agg(
         hist, "len", "cnt", lambda c: F.sum(c).cast("bigint"), "cum",

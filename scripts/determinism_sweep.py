@@ -33,6 +33,16 @@ todo = dict(QUERIES, **{n: fn for n, (fn, _sql) in PENDING_R6.items()})
 out = {}
 for name, fn in sorted(todo.items()):
     df = fn(spark, sf_dir)
+    # scalar-only contract outputs (CLAUDE.md): repr() below would hash
+    # list cells happily, hiding the driver-canonicalizer crash class
+    # (the r4 embed_label_centroids red row) behind a green sweep
+    bad = [
+        f.name
+        for f in df.schema.fields
+        if f.dataType.typeName() in ("array", "map", "struct")
+    ]
+    if bad:
+        raise SystemExit(f"{name}: non-scalar output columns {bad}")
     cols = sorted(df.columns)
     rows = sorted(tuple(repr(r[c]) for c in cols) for r in df.collect())
     out[name] = hashlib.md5(repr(rows).encode()).hexdigest()
