@@ -6844,6 +6844,79 @@ def _q_doc_length_outliers(spark, sf_dir):
     )
 
 
+TOPK_TERMS = 3
+
+_TOPTERMS_ORACLE = (
+    _TOKS_CTE
+    + f""",
+tf AS (SELECT doc_id, token, CAST(count(*) AS BIGINT) AS tf
+       FROM toks GROUP BY 1, 2),
+dfreq AS (SELECT token, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY token),
+nd AS (SELECT CAST(count(DISTINCT doc_id) AS BIGINT) AS n FROM tf),
+scored AS (
+  SELECT t.doc_id, t.token, t.tf, d.df,
+         CAST(CAST(t.tf AS HUGEINT) * (n * 1000000 // d.df) AS BIGINT)
+           AS score
+  FROM tf t JOIN dfreq d ON t.token = d.token CROSS JOIN nd)
+SELECT doc_id, token AS term, tf, df, score, CAST(rn AS BIGINT) AS rnk
+FROM (SELECT *, row_number() OVER (PARTITION BY doc_id
+                                   ORDER BY score DESC, token) AS rn
+      FROM scored) x
+WHERE rn <= {TOPK_TERMS}
+"""
+)
+
+
+def _q_doc_top_terms(spark, sf_dir):
+    """Per-document keyword extraction: the TOPK_TERMS most
+    characteristic terms by the log-free TF-IDF analog score =
+    tf · (N·1e6 div df) — term frequency weighted by integer-ppm
+    rarity (the document-tagging dual of search_bm25_lite's
+    query-side scoring; no log() per the float rule, and the monotone
+    substitute preserves the per-doc ranking). Deterministic total
+    order (score DESC, token). Scale: (doc, term) tf partial agg, a
+    token-keyed hash join against the |vocab|-sized df table (NOT
+    broadcast — vocabulary outgrows a broadcast at corpus scale), the
+    sanctioned 1-row doc-count crossJoin, and a doc_id-PARTITIONED
+    window top-k (per-doc groups are doclen-bounded; never a global
+    sort). Score bound: tf·N·1e6 must fit int64 — documented-safe to
+    ~9e16/max_tf docs; past that the score column itself needs
+    DECIMAL."""
+    tf = (
+        tokens(spark, sf_dir)
+        .groupBy("doc_id", "token")
+        .agg(F.count("*").cast("bigint").alias("tf"))
+        # 3 consumers: df agg, doc-count agg, the scored join
+        .localCheckpoint()
+    )
+    dfreq = tf.groupBy("token").agg(F.count("*").cast("bigint").alias("df"))
+    nd = tf.agg(F.countDistinct("doc_id").cast("bigint").alias("n"))
+    scored = (
+        tf.join(dfreq, "token")
+        .crossJoin(F.broadcast(nd))
+        .withColumn(
+            "score",
+            F.expr(
+                "CAST(CAST(tf AS DECIMAL(38,0)) * (n * 1000000 div df)"
+                " AS BIGINT)"
+            ),
+        )
+    )
+    w = W.partitionBy("doc_id").orderBy(F.desc("score"), "token")
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= TOPK_TERMS)
+        .select(
+            "doc_id",
+            F.col("token").alias("term"),
+            "tf",
+            "df",
+            "score",
+            F.col("rn").cast("bigint").alias("rnk"),
+        )
+    )
+
+
 # name -> (query fn, oracle sql); registered into QUERIES/ORACLES +
 # window 6 next round, alongside the forced kg_graph_two_hop /
 # index_postings_rare re-gates.
@@ -6864,6 +6937,7 @@ PENDING_R6: dict = {
     "events_watermark_late": (_q_events_watermark_late, _WM_LATE_ORACLE),
     "kg_negative_samples": (_q_kg_negative_samples, _NEGSAMPLE_ORACLE),
     "doc_length_outliers": (_q_doc_length_outliers, _MAD_ORACLE),
+    "doc_top_terms": (_q_doc_top_terms, _TOPTERMS_ORACLE),
     "doc_length_percentiles": (_q_doc_length_percentiles, _PCT_ORACLE),
     "web_host_gini": (_q_web_host_gini, _GINI_ORACLE),
     "web_host_linkrank": (

@@ -318,6 +318,7 @@ def test_pending_r6_queries_have_no_single_partition_exchange(spark):
         "events_watermark_late",
         "kg_negative_samples",
         "doc_length_outliers",
+        "doc_top_terms",
     ):
         plan = _plan(PENDING_R6[name][0](spark, SF_DIR))
         assert "Exchange SinglePartition" not in plan, name
