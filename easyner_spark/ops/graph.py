@@ -923,3 +923,107 @@ def k_core(
     return _degrees(u, "node", "core_degree").select(
         "node", F.col("core_degree").cast("bigint").alias("core_degree")
     )
+
+
+def directed_reach_pairs(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    max_hops: int = 3,
+) -> DataFrame:
+    """All-pairs bounded DIRECTED reachability → distinct (seed, node)
+    pairs with node reachable from seed following edge direction in at
+    most ``max_hops`` steps, including the trivial (n, n) pair for
+    every graph node (same seed-at-0 semantics as
+    :func:`hop_distances`, whose frontier loop this reuses minus the
+    undirected fold — direction is the point here: an edge crawled
+    src→dst says nothing about dst→src, and strongly-connected
+    structure only emerges from asymmetric reach).
+
+    Plan: per round ONE keyed hash join (pair frontier ⋈ directed
+    adjacency on the frontier node) + ONE anti-join against the
+    visited pair set, localCheckpointed layers, lazy-union output —
+    work per round is Σ out-degree over frontier pairs, i.e. total
+    cost is the output volume itself (what any exact bounded-reach
+    algorithm must write). At web scale run it over a bounded
+    backbone with small ``max_hops``.
+
+    Reference has no graph ops (frequency ranking only,
+    Aitslab/EasyNER scripts/analysis.py)."""
+    d = edges.select(F.col(src).alias("u"), F.col(dst).alias("v")).distinct().localCheckpoint()
+    frontier = (
+        d.select(F.col("u").alias("seed"))
+        .union(d.select(F.col("v").alias("seed")))
+        .distinct()
+        .select("seed", F.col("seed").alias("node"))
+        .localCheckpoint()
+    )
+    layers = [frontier]
+    visited_pairs = frontier
+    for _ in range(1, max_hops + 1):
+        nxt = (
+            d.join(frontier.withColumnRenamed("node", "u"), "u")
+            .select("seed", F.col("v").alias("node"))
+            .distinct()
+            .join(visited_pairs, ["seed", "node"], "left_anti")
+            .localCheckpoint()
+        )
+        if nxt.limit(1).count() == 0:
+            break
+        layers.append(nxt)
+        visited_pairs = visited_pairs.union(nxt)
+        frontier = nxt
+    out = layers[0]
+    for lay in layers[1:]:
+        out = out.union(lay)
+    return out
+
+
+def scc_bounded(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    max_hops: int = 3,
+) -> DataFrame:
+    """Bounded strongly-connected components over a directed edge
+    frame → (node, component, scc_size, out_reach): two nodes share a
+    component iff each reaches the other within ``max_hops`` directed
+    steps; the component id is the minimum node id of the mutual set
+    (every node is mutually reachable with itself at 0 hops, so the
+    set is never empty). ``scc_size`` = |mutual set| (≥ 1),
+    ``out_reach`` = nodes reachable within the bound EXCLUDING self.
+    Unlike true SCC, bounded-mutual-reachability is not transitive, so
+    this is the well-defined "max_hops-bounded SCC" — exact for any
+    component whose internal cycle diameter is ≤ max_hops (true SCC as
+    max_hops → graph diameter), and the cross-engine-pinnable variant
+    (a recursive-CTE oracle can state the identical bound; Tarjan
+    cannot be bounded-checked declaratively).
+
+    Plan: :func:`directed_reach_pairs` (frontier expansion), then ONE
+    self-join of the pair set against its own swap (keyed on the pair,
+    so co-partitioned) + one keyed agg; out_reach is a second partial
+    agg over the same checkpointed pair frame. Never materializes a
+    per-node neighbor list.
+
+    Reference has no graph ops (frequency ranking only,
+    Aitslab/EasyNER scripts/analysis.py)."""
+    rp = directed_reach_pairs(edges, src, dst, max_hops).localCheckpoint()
+    swapped = rp.select(
+        F.col("node").alias("seed"), F.col("seed").alias("node")
+    )
+    mutual = rp.join(swapped, ["seed", "node"])
+    comp = mutual.groupBy(F.col("seed").alias("node")).agg(
+        F.min("node").alias("component"),
+        F.count("*").cast("bigint").alias("scc_size"),
+    )
+    reach = (
+        rp.filter(F.col("node") != F.col("seed"))
+        .groupBy(F.col("seed").alias("node"))
+        .agg(F.count("*").cast("bigint").alias("out_reach"))
+    )
+    return comp.join(reach, "node", "left").select(
+        "node",
+        "component",
+        "scc_size",
+        F.coalesce("out_reach", F.lit(0)).cast("bigint").alias("out_reach"),
+    )

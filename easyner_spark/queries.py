@@ -2872,14 +2872,24 @@ def _adj_sql(src: str, where: str = "") -> str:
     )
 
 
+def wbackbone(spark, sf_dir):
+    """Top-K strongest co-occurrence edges WITH their weights as
+    (a, b, w) — the one definition of the backbone cut (zero-single-
+    partition two-phase rank); backbone() derives the unweighted
+    (src, dst) view, the modularity gate consumes the weights."""
+    return (
+        _two_phase_rank(wuedges(spark, sf_dir), "w", ["a", "b"])
+        .filter(F.col("rnk") <= TWOHOP_TOPK_EDGES)
+        .select("a", "b", "w")
+    )
+
+
 def backbone(spark, sf_dir):
     """Top-K strongest co-occurrence edges as (src, dst) — the Spark
     twin of _BB_SQL, built on the zero-single-partition two-phase
     rank. Shared by the two-hop and BFS contract queries."""
-    return (
-        _two_phase_rank(wuedges(spark, sf_dir), "w", ["a", "b"])
-        .filter(F.col("rnk") <= TWOHOP_TOPK_EDGES)
-        .select(F.col("a").alias("src"), F.col("b").alias("dst"))
+    return wbackbone(spark, sf_dir).select(
+        F.col("a").alias("src"), F.col("b").alias("dst")
     )
 
 
@@ -3241,21 +3251,33 @@ canon AS (
 """
 
 
-def urls_df(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Deterministic messy-URL synthesis (Spark twin of _URLS_SQL)."""
+def urls_df(
+    spark: SparkSession, sf_dir: str, path_mod: int | None = None
+) -> DataFrame:
+    """Deterministic messy-URL synthesis (Spark twin of _URLS_SQL).
+
+    ``path_mod`` folds the path segment to ``doc_id % path_mod`` — the
+    "mirrored recrawl" variant (_MIRROR_URLS_SQL twin) where distinct
+    docs share a canonical URL; None keeps the per-doc unique path,
+    bit-identical to before the option existed."""
+    path = (
+        "CAST(doc_id AS STRING)"
+        if path_mod is None
+        else f"CAST(doc_id % {int(path_mod)} AS STRING)"
+    )
     return _read(spark, sf_dir, "documents").select(
         "doc_id",
         "source",
         "n_chars",
         F.expr(
-            """
+            f"""
             concat(
               CASE WHEN doc_id % 5 = 0 THEN 'HTTPS' ELSE 'https' END, '://',
               CASE WHEN doc_id % 2 = 1 THEN 'www.' ELSE '' END,
               CASE WHEN doc_id % 7 = 0 THEN upper(source) ELSE source END,
               '-site.org',
               CASE WHEN doc_id % 11 = 0 THEN ':443' ELSE '' END,
-              '/page/', CAST(doc_id AS STRING),
+              '/page/', {path},
               CASE WHEN doc_id % 3 = 0 THEN '/' ELSE '' END,
               CASE WHEN doc_id % 4 = 0
                    THEN concat('?utm_source=feed&ref=',
@@ -5339,18 +5361,21 @@ LP_ROUNDS = 4
 LP_MIN_W = 3
 
 
-def _label_prop_oracle() -> str:
-    """Unrolled synchronous label propagation (DuckDB cannot aggregate
-    inside a recursive CTE term, same constraint as _pagerank_oracle /
-    _kcore_oracle): l{i} assigns every node the most frequent label
-    among its neighbors' l{i-1} labels, ties -> MIN(label). The argmax
-    is a window max + equality filter + GROUP BY MIN — deterministic,
-    float-free. Every CTE is AS MATERIALIZED (round-5 rule: DuckDB
-    default-inlines CTEs and an unrolled chain explodes exponentially
-    otherwise)."""
+def _lp_ctes(
+    extra: str = "",
+    adj_src: str = "wu",
+    where: str = f"w >= {LP_MIN_W}",
+) -> tuple[str, str]:
+    """The unrolled label-propagation CTE chain, shared by the
+    trajectory contract (kg_graph_label_prop; defaults — byte-
+    identical to its registered oracle) and the modularity gate
+    (kg_graph_modularity; extra CTEs + backbone adjacency) — ONE
+    recursion body, zero drift (same anti-drift rule as _WU_SQL /
+    _weighted_pagerank_oracle). Returns (chain_sql,
+    final_label_cte_name)."""
     ctes = [
-        f"""wu AS MATERIALIZED ({_WU_SQL}),
-adj AS MATERIALIZED ({_adj_sql("wu", f"w >= {LP_MIN_W}")}),
+        f"""wu AS MATERIALIZED ({_WU_SQL}),{extra}
+adj AS MATERIALIZED ({_adj_sql(adj_src, where)}),
 l0 AS MATERIALIZED (SELECT DISTINCT u AS node, u AS label FROM adj)"""
     ]
     for i in range(1, LP_ROUNDS + 1):
@@ -5363,12 +5388,25 @@ l{i} AS MATERIALIZED (
   FROM (SELECT u, label, c, MAX(c) OVER (PARTITION BY u) AS mc FROM c{i})
   WHERE c = mc GROUP BY u)"""
         )
+    return ",\n".join(ctes), f"l{LP_ROUNDS}"
+
+
+def _label_prop_oracle() -> str:
+    """Unrolled synchronous label propagation (DuckDB cannot aggregate
+    inside a recursive CTE term, same constraint as _pagerank_oracle /
+    _kcore_oracle): l{i} assigns every node the most frequent label
+    among its neighbors' l{i-1} labels, ties -> MIN(label). The argmax
+    is a window max + equality filter + GROUP BY MIN — deterministic,
+    float-free. Every CTE is AS MATERIALIZED (round-5 rule: DuckDB
+    default-inlines CTEs and an unrolled chain explodes exponentially
+    otherwise)."""
+    ctes, _last = _lp_ctes()
     finals = "\nUNION ALL\n".join(
         f"SELECT CAST({i} AS INT) AS rnd, node AS ent_id, label AS community"
         f" FROM l{i}"
         for i in range(1, LP_ROUNDS + 1)
     )
-    return _LINKED_CTE + ",\n" + ",\n".join(ctes) + "\n" + finals
+    return _LINKED_CTE + ",\n" + ctes + "\n" + finals
 
 
 @register("kg_graph_label_prop", _label_prop_oracle())
@@ -6917,6 +6955,486 @@ def _q_doc_top_terms(spark, sf_dir):
     )
 
 
+# ---------------------------------------------------------------------------
+# pending: bounded SCC over the DIRECTED co-occurrence backbone
+# ---------------------------------------------------------------------------
+SCC_TOPK_EDGES = 40
+SCC_MAX_HOPS = 3
+
+# The directed top-K backbone: the SCC_TOPK_EDGES strongest DIRECTED
+# wedges by (w DESC, src, dst) — (w, src, dst) is unique, so the cut is
+# deterministic. Deliberately NOT the undirected _BB_SQL fold: SCC is
+# about asymmetric reach (pos<pos orientation means "A precedes B in
+# sentences"), and folding to a<b would make every component trivially
+# mutual. Same anti-drift rule: ONE definition, interpolated into the
+# oracle, with dbackbone() as the Spark twin.
+_DBB_SQL = f"""SELECT src, dst FROM ({_KG_WEDGES_SQL})
+  QUALIFY row_number() OVER (ORDER BY w DESC, src, dst) <= {SCC_TOPK_EDGES}"""
+
+
+def dbackbone(spark, sf_dir):
+    """Top-K strongest directed co-occurrence edges as (src, dst) —
+    the Spark twin of _DBB_SQL, built on the zero-single-partition
+    two-phase rank (same discipline as backbone())."""
+    return (
+        _two_phase_rank(wedges(spark, sf_dir), "w", ["src", "dst"])
+        .filter(F.col("rnk") <= SCC_TOPK_EDGES)
+        .select("src", "dst")
+    )
+
+
+def _scc_oracle() -> str:
+    """Unrolled bounded directed reachability + mutual-pair fold (the
+    engine's anti-join frontier and this closure-union produce the
+    same DISTINCT pair set; DuckDB cannot aggregate inside a recursive
+    CTE term, same constraint as _pagerank_oracle / _bfs_hops_oracle).
+    Every CTE is AS MATERIALIZED (DuckDB default-inlines CTEs)."""
+    ctes = [
+        f"""wd AS MATERIALIZED ({_DBB_SQL}),
+sccnodes AS MATERIALIZED (SELECT src AS node FROM wd UNION SELECT dst FROM wd),
+p0 AS MATERIALIZED (SELECT node AS seed, node FROM sccnodes)"""
+    ]
+    for h in range(1, SCC_MAX_HOPS + 1):
+        ctes.append(
+            f"""p{h} AS MATERIALIZED (
+  SELECT seed, node FROM p{h - 1}
+  UNION
+  SELECT f.seed, e.dst AS node
+  FROM p{h - 1} f JOIN wd e ON f.node = e.src)"""
+        )
+    last = f"p{SCC_MAX_HOPS}"
+    return (
+        _LINKED_CTE
+        + ",\n"
+        + ",\n".join(ctes)
+        + f""",
+mutual AS (
+  SELECT a.seed AS node, a.node AS peer
+  FROM {last} a JOIN {last} b ON a.seed = b.node AND a.node = b.seed),
+comp AS (
+  SELECT node, min(peer) AS component, CAST(count(*) AS BIGINT) AS scc_size
+  FROM mutual GROUP BY node),
+oreach AS (
+  SELECT seed AS node, CAST(count(*) AS BIGINT) AS out_reach
+  FROM {last} WHERE node <> seed GROUP BY seed)
+SELECT c.node AS ent_id, c.component, c.scc_size,
+       COALESCE(r.out_reach, 0) AS out_reach
+FROM comp c LEFT JOIN oreach r ON c.node = r.node
+"""
+    )
+
+
+def _q_kg_graph_scc(spark, sf_dir):
+    """Bounded strongly-connected components over the directed top-K
+    co-occurrence backbone — the cycle detector for directional KG
+    relations ("A precedes B" rings vs pure hierarchies), and the
+    directed counterpart of dedup_components' undirected CC. Two
+    entities share a component iff each reaches the other within
+    SCC_MAX_HOPS directed steps; component id = min mutual node
+    (deterministic, RNG-free); scc_size / out_reach expose the mutual
+    set and bounded reach ball sizes. Engine op
+    ops/graph.py::scc_bounded: frontier-expansion reach pairs (one
+    keyed join + one pair anti-join per round, localCheckpointed) +
+    ONE pair-keyed self-join for mutuality — never an n² node
+    cross-join; at web scale runs over a bounded backbone exactly as
+    here (the raw graph is complete → vacuous). Scalar columns only,
+    per the driver-hasher contract."""
+    from .ops.graph import scc_bounded
+
+    return scc_bounded(
+        dbackbone(spark, sf_dir), max_hops=SCC_MAX_HOPS
+    ).select(
+        F.col("node").alias("ent_id"), "component", "scc_size", "out_reach"
+    )
+
+
+# ---------------------------------------------------------------------------
+# pending: deterministic training-mixture interleave order
+# ---------------------------------------------------------------------------
+
+_INTERLEAVE_ORACLE = """
+WITH ih AS (
+  SELECT doc_id, source,
+         md5('interleave:' || CAST(doc_id AS VARCHAR)) AS h
+  FROM documents
+),
+ipos AS (
+  SELECT doc_id, source,
+         CAST(row_number() OVER (ORDER BY h, doc_id) AS BIGINT) AS pos
+  FROM ih
+)
+SELECT source,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(min(pos) AS BIGINT) AS first_pos,
+       CAST(max(pos) AS BIGINT) AS last_pos,
+       CAST(sum(pos) AS BIGINT) AS sum_pos,
+       CAST(arg_min(doc_id, pos) AS BIGINT) AS first_doc_id
+FROM ipos GROUP BY source
+"""
+
+
+def _q_train_interleave_order(spark, sf_dir):
+    """Deterministic global training order audit — the shuffle a data
+    loader needs reproduced bit-identically on any cluster layout:
+    global position = rank of (md5('interleave:'||doc_id), doc_id),
+    i.e. a seeded hash shuffle that interleaves sources without RNG
+    (rand(seed) is partition-layout-dependent; this is not). Per
+    source the contract pins n_docs, first/last/sum of positions and
+    the head doc — the mixture-interleaving statistics a curriculum
+    monitor reads. Scale shape: NO global sort/window — the rank is
+    the two-phase form: 256 hash-prefix buckets (bucket = first 2 hex
+    chars, a PREFIX of the sort key, so bucket order == key order),
+    per-bucket row_number (hash-partitioned window), bucket offsets
+    via the broadcast _bucket_prefix_agg theta join over the ≤256-row
+    bucket histogram. Same zero-single-partition discipline as
+    _two_phase_rank / doc_length_percentiles."""
+    d = (
+        _read(spark, sf_dir, "documents")
+        .select(
+            "doc_id",
+            "source",
+            F.md5(
+                F.concat(
+                    F.lit("interleave:"), F.col("doc_id").cast("string")
+                ).cast("binary")
+            ).alias("h"),
+        )
+        .withColumn("bkt", F.substring("h", 1, 2))
+        # two consumers (bucket histogram + windowed rank side) — see
+        # the Catalyst-no-CSE rule
+        .localCheckpoint()
+    )
+    bcnt = (
+        d.groupBy("bkt")
+        .agg(F.count("*").cast("bigint").alias("cnt"))
+        .localCheckpoint()
+    )
+    off = _bucket_prefix_agg(
+        bcnt, "bkt", "cnt", lambda c: F.sum(c).cast("bigint"), "off"
+    ).select("bkt", F.coalesce("off", F.lit(0)).cast("bigint").alias("off"))
+    w = W.partitionBy("bkt").orderBy("h", "doc_id")
+    pos = (
+        d.withColumn("_r", F.row_number().over(w))
+        .join(F.broadcast(off), "bkt")
+        .withColumn("pos", (F.col("off") + F.col("_r")).cast("bigint"))
+    )
+    return pos.groupBy("source").agg(
+        F.count("*").cast("bigint").alias("n_docs"),
+        F.min("pos").cast("bigint").alias("first_pos"),
+        F.max("pos").cast("bigint").alias("last_pos"),
+        F.sum("pos").cast("bigint").alias("sum_pos"),
+        F.min(F.struct("pos", "doc_id"))
+        .getField("doc_id")
+        .cast("bigint")
+        .alias("first_doc_id"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# pending: URL-keyed recrawl dedup (keep-best per canonical URL)
+# ---------------------------------------------------------------------------
+
+# Mirrored-recrawl URL frame: the SAME synthesis as _URLS_SQL with the
+# path folded to doc_id % _MIRROR_MOD, so ~n/_MIRROR_MOD docs collapse
+# onto each canonical URL (recrawls/mirrors of one page). Derived
+# mechanically from _URLS_SQL — one synthesis rule, two frames, zero
+# drift; the anchor assert fails loudly if the base SQL is reworded.
+_MIRROR_MOD = 97
+_MIRROR_URLS_SQL = _URLS_SQL.replace(
+    "'/page/' || CAST(doc_id AS VARCHAR)",
+    f"'/page/' || CAST(doc_id % {_MIRROR_MOD} AS VARCHAR)",
+)
+if _MIRROR_URLS_SQL == _URLS_SQL:  # pragma: no cover - anchor guard
+    raise AssertionError("mirror URL derivation lost its _URLS_SQL anchor")
+
+_URL_RECRAWL_ORACLE = (
+    "WITH "
+    + _MIRROR_URLS_SQL
+    + ","
+    + _CANON_SQL
+    + """,
+best AS (
+  SELECT canon_url, doc_id, n_chars,
+         row_number() OVER (PARTITION BY canon_url
+                            ORDER BY n_chars DESC, doc_id) AS rn
+  FROM canon),
+g AS (
+  SELECT canon_url, CAST(count(*) AS BIGINT) AS n_docs,
+         CAST(sum(n_chars) AS BIGINT) AS total_chars
+  FROM canon GROUP BY canon_url)
+SELECT g.canon_url, g.n_docs, g.total_chars,
+       CAST(b.n_chars AS BIGINT) AS kept_chars,
+       CAST(b.doc_id AS BIGINT) AS kept_doc_id,
+       CAST(g.total_chars - b.n_chars AS BIGINT) AS dup_chars
+FROM g JOIN best b ON g.canon_url = b.canon_url AND b.rn = 1
+"""
+)
+
+
+def _q_dedup_url_recrawl(spark, sf_dir):
+    """URL-keyed recrawl dedup — the first dedup every crawl pipeline
+    runs, BEFORE any content hashing: canonicalize (ops/web.py rule
+    chain), group by canonical URL, keep the best capture (longest
+    text, tie → smallest doc_id) and account the duplicate volume
+    dropped. Keep-best is a single map-side-partial struct-max
+    (max(n_chars, -doc_id)) folded into the same hash agg that counts
+    the group — ONE shuffle total, no window, no self-join (the
+    row_number spelling in the oracle is DuckDB-side only). At 100 TB
+    canon_url is a skew key (mirrors of one hot page) — plain
+    partial-agg + AQE handles it; nothing materializes a per-URL
+    capture list."""
+    from .ops.web import canonical_url
+
+    u = urls_df(spark, sf_dir, path_mod=_MIRROR_MOD).select(
+        "doc_id", "n_chars", canonical_url(F.col("url")).alias("canon_url")
+    )
+    grp = u.groupBy("canon_url").agg(
+        F.count("*").cast("bigint").alias("n_docs"),
+        F.sum("n_chars").cast("bigint").alias("total_chars"),
+        F.max(
+            F.struct(F.col("n_chars"), (-F.col("doc_id")).alias("neg_id"))
+        ).alias("best"),
+    )
+    return grp.select(
+        "canon_url",
+        "n_docs",
+        "total_chars",
+        F.col("best.n_chars").cast("bigint").alias("kept_chars"),
+        (-F.col("best.neg_id")).cast("bigint").alias("kept_doc_id"),
+        (F.col("total_chars") - F.col("best.n_chars"))
+        .cast("bigint")
+        .alias("dup_chars"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# pending: weighted modularity of the label-prop communities
+# ---------------------------------------------------------------------------
+
+
+def _modularity_oracle() -> str:
+    """Per-(round, community) weighted-modularity contributions over
+    the label-prop TRAJECTORY — the oracle reuses _lp_ctes() verbatim
+    (one recursion body for trajectory + modularity, zero drift) and
+    adds per-round in-weight / degree-weight folds. The trajectory,
+    not just the fixpoint, is the contract: on this corpus LPA
+    converges to ONE community (whose modularity row is the constant
+    1e6 — the two-hop vacuity lesson), while the round-1..N sweep pins
+    how Q climbs as labels coalesce. All-integer: the per-community
+    shifted contribution ((4·W·in_c − d_c² + 4·W²)·1e6) // (4·W²) is
+    provably non-negative (d_c ≤ 2W ⇒ d_c² ≤ 4W²), so DuckDB's
+    flooring // and Spark's truncating div agree; products ride
+    HUGEINT / DECIMAL(38,0) (4·W²·1e6 exceeds int64). Graph: the
+    top-K BACKBONE with its weights (sw = wu ⋈ _BB_SQL — reuses the
+    registered cut verbatim), not the w≥LP_MIN_W graph the trajectory
+    contract uses: the strong graph is near-complete, so LPA on it
+    collapses to ≤2 communities by round 1; the sparse backbone keeps
+    7→2→1 communities across rounds — a genuinely discriminating
+    modularity sweep."""
+    ctes, _last = _lp_ctes(
+        extra=f"""
+mbb AS MATERIALIZED ({_BB_SQL}),
+sw AS MATERIALIZED (
+  SELECT wu.a, wu.b, wu.w
+  FROM wu JOIN mbb ON wu.a = mbb.a AND wu.b = mbb.b),""",
+        adj_src="sw",
+        where="",
+    )
+    rounds = []
+    for i in range(1, LP_ROUNDS + 1):
+        rounds.append(
+            f"""minw{i} AS (
+  SELECT la.label AS community, CAST(SUM(s.w) AS BIGINT) AS in_w
+  FROM sw s JOIN l{i} la ON s.a = la.node
+            JOIN l{i} lb ON s.b = lb.node
+  WHERE la.label = lb.label GROUP BY la.label),
+mcdeg{i} AS (
+  SELECT l.label AS community, CAST(count(*) AS BIGINT) AS n_nodes,
+         CAST(SUM(d.d) AS BIGINT) AS deg_w
+  FROM l{i} l JOIN mdegs d ON l.node = d.node GROUP BY l.label)"""
+        )
+    finals = "\nUNION ALL\n".join(
+        f"""SELECT CAST({i} AS INT) AS rnd, c.community, c.n_nodes,
+       COALESCE(i.in_w, 0) AS in_w, c.deg_w,
+       CAST((4 * W * COALESCE(i.in_w, 0)
+             - CAST(c.deg_w AS HUGEINT) * c.deg_w
+             + 4 * W * W) * 1000000 // (4 * W * W) AS BIGINT)
+         AS contrib_shift_ppm
+FROM mcdeg{i} c LEFT JOIN minw{i} i ON c.community = i.community, wtot"""
+        for i in range(1, LP_ROUNDS + 1)
+    )
+    return (
+        _LINKED_CTE
+        + ",\n"
+        + ctes
+        + """,
+wtot AS (SELECT CAST(SUM(w) AS HUGEINT) AS W FROM sw),
+mdegs AS MATERIALIZED (
+  SELECT node, CAST(SUM(w) AS BIGINT) AS d
+  FROM (SELECT a AS node, w FROM sw UNION ALL SELECT b AS node, w FROM sw)
+  GROUP BY node),
+"""
+        + ",\n".join(rounds)
+        + "\n"
+        + finals
+    )
+
+
+def _q_kg_graph_modularity(spark, sf_dir):
+    """Weighted-modularity trajectory of the label-prop run — the
+    quality metric that tells a KG curator whether detected
+    communities are real structure (per round r, the global
+    Q_r = Σ_c(contrib_shift_ppm − 1e6)/1e6 is recoverable by exact
+    integer sums; watching it climb across rounds is how LPA
+    convergence is actually monitored — the fixpoint alone is one
+    community on this corpus, i.e. vacuous). Per (rnd, community):
+    size, internal edge weight, total degree weight, and the SHIFTED
+    contribution ppm (+4W² keeps the numerator non-negative so
+    floor-vs-truncate division cannot diverge cross-engine — same
+    trick as eval_run_agreement_kappa's n·d ≥ s argument). Graph: the
+    WEIGHTED top-K backbone (wbackbone — same cut as two-hop/BFS),
+    not the near-complete w≥LP_MIN_W graph: sparse structure keeps
+    7→2→1 communities across rounds (see _modularity_oracle). Engine:
+    the SAME ops/graph.py::label_propagation op as
+    kg_graph_label_prop (per-round checkpointed snapshots), then per
+    round two keyed joins of the checkpointed backbone-edge frame
+    against the label frame + two partial aggs; W rides the
+    sanctioned 1-row broadcast crossJoin and the degree frame is
+    materialized once across all rounds. At web scale every stage is
+    community/node-keyed — nothing materializes a per-community
+    member list."""
+    from .ops.graph import label_propagation
+
+    sw = (
+        wbackbone(spark, sf_dir)
+        # 2 + 2·LP_ROUNDS consumers: LPA edges, degree fold, per-round
+        # in-weight joins
+        .localCheckpoint()
+    )
+    snaps: list[DataFrame] = []
+    label_propagation(
+        sw.select(F.col("a").alias("src"), F.col("b").alias("dst")),
+        iterations=LP_ROUNDS,
+        snapshots=snaps,
+    )
+    wtot = sw.agg(F.sum("w").cast("bigint").alias("W"))
+    degs = (
+        sw.select(F.col("a").alias("node"), "w")
+        .union(sw.select(F.col("b").alias("node"), "w"))
+        .groupBy("node")
+        .agg(F.sum("w").cast("bigint").alias("d"))
+        # one materialization serves every round's community fold
+        .localCheckpoint()
+    )
+    per_round: list[DataFrame] = []
+    for i, labels in enumerate(snaps):
+        la = labels.select(
+            F.col("node").alias("a"), F.col("label").alias("la")
+        )
+        lb = labels.select(
+            F.col("node").alias("b"), F.col("label").alias("lb")
+        )
+        inw = (
+            sw.join(la, "a")
+            .join(lb, "b")
+            .filter(F.col("la") == F.col("lb"))
+            .groupBy(F.col("la").alias("community"))
+            .agg(F.sum("w").cast("bigint").alias("in_w"))
+        )
+        cdeg = (
+            labels.join(degs, "node")
+            .groupBy(F.col("label").alias("community"))
+            .agg(
+                F.count("*").cast("bigint").alias("n_nodes"),
+                F.sum("d").cast("bigint").alias("deg_w"),
+            )
+        )
+        per_round.append(
+            cdeg.join(inw, "community", "left")
+            .crossJoin(F.broadcast(wtot))
+            .select(
+                F.lit(i + 1).cast("int").alias("rnd"),
+                "community",
+                "n_nodes",
+                F.coalesce("in_w", F.lit(0)).cast("bigint").alias("in_w"),
+                "deg_w",
+                F.expr(
+                    "CAST((CAST(4 AS DECIMAL(38,0)) * W * coalesce(in_w, 0)"
+                    " - CAST(deg_w AS DECIMAL(38,0)) * deg_w"
+                    " + CAST(4 AS DECIMAL(38,0)) * W * W) * 1000000"
+                    " div (CAST(4 AS DECIMAL(38,0)) * W * W) AS BIGINT)"
+                ).alias("contrib_shift_ppm"),
+            )
+        )
+    return functools.reduce(DataFrame.union, per_round)
+
+
+# ---------------------------------------------------------------------------
+# pending: deterministic per-source reservoir sample
+# ---------------------------------------------------------------------------
+
+PERSRC_K = 5
+
+_PERSRC_ORACLE = f"""
+WITH sh AS (
+  SELECT doc_id, source,
+         md5('persrc:' || CAST(doc_id AS VARCHAR)) AS h
+  FROM documents
+),
+srk AS (
+  SELECT doc_id, source, h,
+         CAST(row_number() OVER (PARTITION BY source ORDER BY h, doc_id)
+              AS BIGINT) AS rk
+  FROM sh
+)
+SELECT source, rk, CAST(doc_id AS BIGINT) AS doc_id, h AS hkey
+FROM srk WHERE rk <= {PERSRC_K}
+"""
+
+
+def _q_train_per_source_sample(spark, sf_dir):
+    """Deterministic per-source K-sample — the reproducible reservoir
+    every mixture pipeline needs (inspection shards, per-source eval
+    holdouts): keep each source's PERSRC_K docs with the smallest
+    (md5('persrc:'||doc_id), doc_id) key — a uniform draw that is
+    layout- and run-invariant where reservoir-by-RNG is not. Scale
+    shape: per-source groups are UNBOUNDED at 100 TB (one hot source
+    can be half the corpus), so no single window over a raw source
+    partition — phase 1 takes the top-K within each (source,
+    hash-prefix-bucket) group (256-way split of every source), phase 2
+    re-ranks the ≤256·K survivors per source; any true top-K row is
+    top-K in its own bucket, and every row globally ahead of it also
+    survives, so phase-2 ranks equal global ranks exactly. Both
+    windows are keyed (no single-partition exchange anywhere)."""
+    d = _read(spark, sf_dir, "documents").select(
+        "doc_id",
+        "source",
+        F.md5(
+            F.concat(F.lit("persrc:"), F.col("doc_id").cast("string")).cast(
+                "binary"
+            )
+        ).alias("h"),
+    )
+    d = d.withColumn("bkt", F.substring("h", 1, 2))
+    w1 = W.partitionBy("source", "bkt").orderBy("h", "doc_id")
+    surv = (
+        d.withColumn("_r1", F.row_number().over(w1))
+        .filter(F.col("_r1") <= PERSRC_K)
+        .drop("_r1", "bkt")
+    )
+    w2 = W.partitionBy("source").orderBy("h", "doc_id")
+    return (
+        surv.withColumn("rk", F.row_number().over(w2).cast("bigint"))
+        .filter(F.col("rk") <= PERSRC_K)
+        .select(
+            "source",
+            "rk",
+            F.col("doc_id").cast("bigint").alias("doc_id"),
+            F.col("h").alias("hkey"),
+        )
+    )
+
+
 # name -> (query fn, oracle sql); registered into QUERIES/ORACLES +
 # window 6 next round, alongside the forced kg_graph_two_hop /
 # index_postings_rare re-gates.
@@ -6949,6 +7467,17 @@ PENDING_R6: dict = {
             wedges_sql=_HOST_LINKS_SQL,
             key_alias="host",
         ),
+    ),
+    "kg_graph_scc": (_q_kg_graph_scc, _scc_oracle()),
+    "train_interleave_order": (
+        _q_train_interleave_order,
+        _INTERLEAVE_ORACLE,
+    ),
+    "dedup_url_recrawl": (_q_dedup_url_recrawl, _URL_RECRAWL_ORACLE),
+    "kg_graph_modularity": (_q_kg_graph_modularity, _modularity_oracle()),
+    "train_per_source_sample": (
+        _q_train_per_source_sample,
+        _PERSRC_ORACLE,
     ),
 }
 

@@ -455,3 +455,60 @@ def test_bucket_prefix_agg_random_matches_sequential(spark):
                 ).collect()
             }
             assert got == expect, (py_fn.__name__, inclusive)
+
+
+def test_scc_bounded_random_digraph_matches_sequential(spark):
+    """scc_bounded on random sparse DIGRAPHS vs a sequential
+    reference: per-node directed BFS reach balls (bounded), mutual
+    intersection, min-id component — across max_hops settings
+    (truncation included) and densities (singleton-only and
+    multi-node-SCC regimes both exercised)."""
+    from easyner_spark.ops.graph import scc_bounded
+
+    for seed, n_draws in ((41, 30), (42, 80)):
+        rng = random.Random(seed)
+        nodes = list(range(18))
+        edges = [
+            (a, b)
+            for a, b in {
+                (rng.choice(nodes), rng.choice(nodes)) for _ in range(n_draws)
+            }
+            if a != b
+        ]
+        adj: dict[int, set[int]] = {}
+        present: set[int] = set()
+        for a, b in edges:
+            adj.setdefault(a, set()).add(b)
+            present.update((a, b))
+        for mh in (1, 3):
+            reach: dict[int, set[int]] = {}
+            for s in present:
+                seen = {s}
+                frontier = {s}
+                for _ in range(mh):
+                    frontier = {
+                        v
+                        for n in frontier
+                        for v in adj.get(n, ())
+                        if v not in seen
+                    }
+                    seen |= frontier
+                reach[s] = seen
+            # string node ids: min is lexicographic, mirror it
+            expect = {}
+            for s in present:
+                mutual = {str(v) for v in reach[s] if s in reach[v]}
+                expect[str(s)] = (
+                    min(mutual),
+                    len(mutual),
+                    len(reach[s]) - 1,
+                )
+            df = spark.createDataFrame(
+                [(str(a), str(b)) for a, b in edges],
+                "src string, dst string",
+            )
+            got = {
+                r["node"]: (r["component"], r["scc_size"], r["out_reach"])
+                for r in scc_bounded(df, max_hops=mh).collect()
+            }
+            assert got == expect, (seed, mh)

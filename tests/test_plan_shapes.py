@@ -293,11 +293,14 @@ def test_pending_r6_queries_have_no_single_partition_exchange(spark):
     matrix windows by src_type, the weakest-link argmin by node, the
     novelty join by shingle, reciprocity by host, the PMI pair
     self-join by (doc, sent) / pair key, the percentile cumulative by
-    length, the Gini rank by the two-phase bucket. Their sanctioned
+    length, the Gini rank by the two-phase bucket, the interleave
+    rank by hash-prefix bucket, the recrawl keep-best by canon_url
+    (struct-max in the hash agg — no window at all), the per-source
+    sample by (source, bucket) then source. Their sanctioned
     1-row scalar aggregates (PMI sentence total, percentile doc total,
     Gini final) ride broadcast/checkpointed subtrees and contribute no
     SinglePartition exchange at explain time. Exclusions: the
-    iterative gates (HITS/PPR/harmonic/BFS/truss) materialize per
+    iterative gates (HITS/PPR/harmonic/BFS/truss/SCC) materialize per
     round via localCheckpoint so their final plan only shows the last
     join (pinned by per-op unit tests instead), and web_crawl_budget
     legitimately carries Exchange SinglePartition for its two 1-row
@@ -319,6 +322,9 @@ def test_pending_r6_queries_have_no_single_partition_exchange(spark):
         "kg_negative_samples",
         "doc_length_outliers",
         "doc_top_terms",
+        "train_interleave_order",
+        "dedup_url_recrawl",
+        "train_per_source_sample",
     ):
         plan = _plan(PENDING_R6[name][0](spark, SF_DIR))
         assert "Exchange SinglePartition" not in plan, name
