@@ -7049,15 +7049,41 @@ def _q_kg_graph_scc(spark, sf_dir):
 
 
 # ---------------------------------------------------------------------------
-# pending: deterministic training-mixture interleave order
+# pending: deterministic training-mixture interleave order + packing
 # ---------------------------------------------------------------------------
 
-_INTERLEAVE_ORACLE = """
-WITH ih AS (
+# ONE definition of the interleave sort key (same anti-drift rule as
+# _WU_SQL): the order audit and the packing manifest must agree on the
+# global order or the two manifests describe different epochs.
+_IH_SQL = """ih AS (
   SELECT doc_id, source,
          md5('interleave:' || CAST(doc_id AS VARCHAR)) AS h
   FROM documents
-),
+)"""
+
+
+def interleave_keys(spark, sf_dir):
+    """(doc_id, source, h, bkt) — Spark twin of _IH_SQL plus the
+    2-hex-char prefix bucket (a PREFIX of the sort key, so bucket
+    order == key order; the two-phase global-rank/prefix-sum trick
+    rides on it)."""
+    return (
+        _read(spark, sf_dir, "documents")
+        .select(
+            "doc_id",
+            "source",
+            F.md5(
+                F.concat(
+                    F.lit("interleave:"), F.col("doc_id").cast("string")
+                ).cast("binary")
+            ).alias("h"),
+        )
+        .withColumn("bkt", F.substring("h", 1, 2))
+    )
+
+
+_INTERLEAVE_ORACLE = f"""
+WITH {_IH_SQL},
 ipos AS (
   SELECT doc_id, source,
          CAST(row_number() OVER (ORDER BY h, doc_id) AS BIGINT) AS pos
@@ -7089,17 +7115,7 @@ def _q_train_interleave_order(spark, sf_dir):
     bucket histogram. Same zero-single-partition discipline as
     _two_phase_rank / doc_length_percentiles."""
     d = (
-        _read(spark, sf_dir, "documents")
-        .select(
-            "doc_id",
-            "source",
-            F.md5(
-                F.concat(
-                    F.lit("interleave:"), F.col("doc_id").cast("string")
-                ).cast("binary")
-            ).alias("h"),
-        )
-        .withColumn("bkt", F.substring("h", 1, 2))
+        interleave_keys(spark, sf_dir)
         # two consumers (bucket histogram + windowed rank side) — see
         # the Catalyst-no-CSE rule
         .localCheckpoint()
@@ -7435,6 +7451,105 @@ def _q_train_per_source_sample(spark, sf_dir):
     )
 
 
+# ---------------------------------------------------------------------------
+# pending: sequence-packing manifest over the interleave order
+# ---------------------------------------------------------------------------
+
+SEQ_BUDGET = 2048
+
+_PACKING_ORACLE = (
+    _TOKS_CTE
+    + f""",
+{_IH_SQL},
+ptk AS (
+  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens
+  FROM toks GROUP BY doc_id),
+pord AS (
+  SELECT i.doc_id, COALESCE(t.n_tokens, 0) AS n_tokens,
+         COALESCE(SUM(COALESCE(t.n_tokens, 0)) OVER (
+             ORDER BY i.h, i.doc_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+           AS cum_before
+  FROM ih i LEFT JOIN ptk t ON i.doc_id = t.doc_id),
+pbin AS (
+  SELECT doc_id, n_tokens, cum_before,
+         CAST(cum_before // {SEQ_BUDGET} AS BIGINT) AS bin_id
+  FROM pord)
+SELECT bin_id,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(n_tokens) AS BIGINT) AS bin_tokens,
+       CAST(min(doc_id) AS BIGINT) AS min_doc_id,
+       CAST(min(cum_before) AS BIGINT) AS start_offset
+FROM pbin GROUP BY bin_id
+"""
+)
+
+
+def _q_train_packing_manifest(spark, sf_dir):
+    """Sequence-packing manifest — the bin assignment a training data
+    loader materializes before tokenizing: documents stream in the
+    deterministic interleave order (_IH_SQL — the SAME key rule as
+    train_interleave_order, shared so the two manifests describe one
+    epoch) and are packed contiguously into SEQ_BUDGET-token bins; a
+    doc belongs to the bin containing its start offset (offset
+    packing: deterministic, streaming-friendly, and the bin boundaries
+    are pure integer division of the exclusive prefix token sum). Per
+    bin: doc count, token mass (>budget iff a doc straddles the
+    boundary — expected), first doc and start offset. Scale shape: the
+    global prefix sum never sorts the corpus — per-bucket token totals
+    (≤256 rows) theta-join into exclusive offsets (_bucket_prefix_agg)
+    and the within-bucket running sum is a keyed window
+    (ROWS UNBOUNDED PRECEDING..1 PRECEDING), so everything is
+    hash-partitioned by the key prefix; the per-bin fold is one
+    partial agg keyed by bin_id."""
+    ik = interleave_keys(spark, sf_dir)
+    tk = (
+        tokens(spark, sf_dir)
+        .groupBy("doc_id")
+        .agg(F.count("*").cast("bigint").alias("n_tokens"))
+    )
+    d = (
+        ik.join(tk, "doc_id", "left")
+        .select(
+            "doc_id",
+            "h",
+            "bkt",
+            F.coalesce("n_tokens", F.lit(0)).cast("bigint").alias("n_tokens"),
+        )
+        # two consumers: bucket totals + windowed running sum
+        .localCheckpoint()
+    )
+    bsum = (
+        d.groupBy("bkt")
+        .agg(F.sum("n_tokens").cast("bigint").alias("cnt"))
+        .localCheckpoint()
+    )
+    off = _bucket_prefix_agg(
+        bsum, "bkt", "cnt", lambda c: F.sum(c).cast("bigint"), "off"
+    ).select("bkt", F.coalesce("off", F.lit(0)).cast("bigint").alias("off"))
+    w = (
+        W.partitionBy("bkt")
+        .orderBy("h", "doc_id")
+        .rowsBetween(W.unboundedPreceding, -1)
+    )
+    binned = (
+        d.withColumn(
+            "run", F.coalesce(F.sum("n_tokens").over(w), F.lit(0))
+        )
+        .join(F.broadcast(off), "bkt")
+        .withColumn("cum_before", (F.col("off") + F.col("run")).cast("bigint"))
+        .withColumn(
+            "bin_id", F.expr(f"CAST(cum_before div {SEQ_BUDGET} AS BIGINT)")
+        )
+    )
+    return binned.groupBy("bin_id").agg(
+        F.count("*").cast("bigint").alias("n_docs"),
+        F.sum("n_tokens").cast("bigint").alias("bin_tokens"),
+        F.min("doc_id").cast("bigint").alias("min_doc_id"),
+        F.min("cum_before").cast("bigint").alias("start_offset"),
+    )
+
+
 # name -> (query fn, oracle sql); registered into QUERIES/ORACLES +
 # window 6 next round, alongside the forced kg_graph_two_hop /
 # index_postings_rare re-gates.
@@ -7478,6 +7593,10 @@ PENDING_R6: dict = {
     "train_per_source_sample": (
         _q_train_per_source_sample,
         _PERSRC_ORACLE,
+    ),
+    "train_packing_manifest": (
+        _q_train_packing_manifest,
+        _PACKING_ORACLE,
     ),
 }
 

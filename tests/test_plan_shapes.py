@@ -325,6 +325,7 @@ def test_pending_r6_queries_have_no_single_partition_exchange(spark):
         "train_interleave_order",
         "dedup_url_recrawl",
         "train_per_source_sample",
+        "train_packing_manifest",
     ):
         plan = _plan(PENDING_R6[name][0](spark, SF_DIR))
         assert "Exchange SinglePartition" not in plan, name
