@@ -845,22 +845,41 @@ def hop_distances(
 
     Reference has no graph ops (frequency ranking only,
     Aitslab/EasyNER scripts/analysis.py)."""
-    u = _undirected(edges, src, dst).localCheckpoint()
-    adj = _adjacency(u)
+    adj = _adjacency(_undirected(edges, src, dst).localCheckpoint())
+    layers = _expand_pairs(adj, max_hops)
+    out = None
+    for h, lay in enumerate(layers):
+        lab = lay.select(
+            "seed", "node", F.lit(h).cast("bigint").alias("hops")
+        )
+        out = lab if out is None else out.union(lab)
+    return out
+
+
+def _expand_pairs(adj: DataFrame, max_hops: int) -> list[DataFrame]:
+    """Bounded (seed, node) pair-frontier expansion over a (u, v)
+    adjacency frame — the ONE loop behind :func:`hop_distances`
+    (undirected, doubled adjacency) and :func:`directed_reach_pairs`
+    (directed adjacency): layer 0 is the trivial (n, n) pair for every
+    adjacency endpoint; per round ONE keyed hash join (pair frontier ⋈
+    adjacency on the frontier node) + ONE anti-join against the
+    visited pair set, each new layer localCheckpointed once. Returns
+    the layer list (layer index == hop count); the visited set stays a
+    lazy union of the materialized layers — the full ball is the
+    caller's OUTPUT, so a per-round re-checkpoint would re-write it
+    max_hops times over (same layered-union discipline as bfs_hops).
+    Work per round is Σ adjacency-degree over frontier pairs — total
+    cost is the output volume itself."""
     frontier = (
-        u.select(F.col("a").alias("seed"))
-        .union(u.select(F.col("b").alias("seed")))
+        adj.select(F.col("u").alias("seed"))
+        .union(adj.select(F.col("v").alias("seed")))
         .distinct()
         .select("seed", F.col("seed").alias("node"))
         .localCheckpoint()
     )
-    # same layered-union discipline as bfs_hops: only each round's new
-    # pair frontier is materialized; the visited pair set is a lazy
-    # union of those layers (the full ball is the OUTPUT here, so a
-    # per-round re-checkpoint would re-write it max_hops times over)
-    layers = [frontier.select("seed", "node", F.lit(0).cast("bigint").alias("hops"))]
+    layers = [frontier]
     visited_pairs = frontier
-    for h in range(1, max_hops + 1):
+    for _ in range(1, max_hops + 1):
         nxt = (
             adj.join(frontier.withColumnRenamed("node", "u"), "u")
             .select("seed", F.col("v").alias("node"))
@@ -870,15 +889,10 @@ def hop_distances(
         )
         if nxt.limit(1).count() == 0:
             break
-        layers.append(
-            nxt.select("seed", "node", F.lit(h).cast("bigint").alias("hops"))
-        )
+        layers.append(nxt)
         visited_pairs = visited_pairs.union(nxt)
         frontier = nxt
-    out = layers[0]
-    for lay in layers[1:]:
-        out = out.union(lay)
-    return out
+    return layers
 
 
 def k_core(
@@ -940,39 +954,23 @@ def directed_reach_pairs(
     src→dst says nothing about dst→src, and strongly-connected
     structure only emerges from asymmetric reach).
 
-    Plan: per round ONE keyed hash join (pair frontier ⋈ directed
-    adjacency on the frontier node) + ONE anti-join against the
-    visited pair set, localCheckpointed layers, lazy-union output —
-    work per round is Σ out-degree over frontier pairs, i.e. total
-    cost is the output volume itself (what any exact bounded-reach
-    algorithm must write). At web scale run it over a bounded
-    backbone with small ``max_hops``.
+    Plan: :func:`_expand_pairs` over the DIRECTED adjacency (the same
+    shared loop hop_distances runs over the doubled undirected one) —
+    per round ONE keyed hash join + ONE pair anti-join,
+    localCheckpointed layers, lazy-union output; work per round is
+    Σ out-degree over frontier pairs, i.e. total cost is the output
+    volume itself (what any exact bounded-reach algorithm must
+    write). At web scale run it over a bounded backbone with small
+    ``max_hops``.
 
     Reference has no graph ops (frequency ranking only,
     Aitslab/EasyNER scripts/analysis.py)."""
-    d = edges.select(F.col(src).alias("u"), F.col(dst).alias("v")).distinct().localCheckpoint()
-    frontier = (
-        d.select(F.col("u").alias("seed"))
-        .union(d.select(F.col("v").alias("seed")))
+    d = (
+        edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
         .distinct()
-        .select("seed", F.col("seed").alias("node"))
         .localCheckpoint()
     )
-    layers = [frontier]
-    visited_pairs = frontier
-    for _ in range(1, max_hops + 1):
-        nxt = (
-            d.join(frontier.withColumnRenamed("node", "u"), "u")
-            .select("seed", F.col("v").alias("node"))
-            .distinct()
-            .join(visited_pairs, ["seed", "node"], "left_anti")
-            .localCheckpoint()
-        )
-        if nxt.limit(1).count() == 0:
-            break
-        layers.append(nxt)
-        visited_pairs = visited_pairs.union(nxt)
-        frontier = nxt
+    layers = _expand_pairs(d, max_hops)
     out = layers[0]
     for lay in layers[1:]:
         out = out.union(lay)

@@ -7062,11 +7062,14 @@ _IH_SQL = """ih AS (
 )"""
 
 
-def interleave_keys(spark, sf_dir):
+def interleave_keys(spark, sf_dir, prefix: str = "interleave:"):
     """(doc_id, source, h, bkt) — Spark twin of _IH_SQL plus the
     2-hex-char prefix bucket (a PREFIX of the sort key, so bucket
     order == key order; the two-phase global-rank/prefix-sum trick
-    rides on it)."""
+    rides on it). ``prefix`` is the hash salt: ONE seeded-hash key
+    recipe serves every deterministic-draw contract (interleave order
+    + packing use the default; the per-source sample draws an
+    independent stream with 'persrc:')."""
     return (
         _read(spark, sf_dir, "documents")
         .select(
@@ -7074,11 +7077,42 @@ def interleave_keys(spark, sf_dir):
             "source",
             F.md5(
                 F.concat(
-                    F.lit("interleave:"), F.col("doc_id").cast("string")
+                    F.lit(prefix), F.col("doc_id").cast("string")
                 ).cast("binary")
             ).alias("h"),
         )
         .withColumn("bkt", F.substring("h", 1, 2))
+    )
+
+
+def _hash_order_prefix(d, val_col, out="cum_before"):
+    """Exclusive prefix SUM of ``val_col`` over the (h, doc_id) hash
+    order WITHOUT a global sort — the shared two-phase scaffold behind
+    the interleave rank (val = 1: rank = prefix + 1) and the packing
+    manifest (val = n_tokens: bin offsets): ≤256 per-bucket totals →
+    broadcast exclusive offsets (_bucket_prefix_agg theta join) +
+    keyed within-bucket running sum (ROWS UNBOUNDED PRECEDING..1
+    PRECEDING). ``d`` must be localCheckpointed by the caller (bucket
+    totals + windowed side both consume it — the Catalyst-no-CSE
+    rule) and carry (h, bkt, doc_id, val_col)."""
+    bsum = (
+        d.groupBy("bkt")
+        .agg(F.sum(val_col).cast("bigint").alias("cnt"))
+        .localCheckpoint()
+    )
+    off = _bucket_prefix_agg(
+        bsum, "bkt", "cnt", lambda c: F.sum(c).cast("bigint"), "off"
+    ).select("bkt", F.coalesce("off", F.lit(0)).cast("bigint").alias("off"))
+    w = (
+        W.partitionBy("bkt")
+        .orderBy("h", "doc_id")
+        .rowsBetween(W.unboundedPreceding, -1)
+    )
+    return (
+        d.withColumn("_run", F.coalesce(F.sum(val_col).over(w), F.lit(0)))
+        .join(F.broadcast(off), "bkt")
+        .withColumn(out, (F.col("off") + F.col("_run")).cast("bigint"))
+        .drop("_run", "off")
     )
 
 
@@ -7116,23 +7150,13 @@ def _q_train_interleave_order(spark, sf_dir):
     _two_phase_rank / doc_length_percentiles."""
     d = (
         interleave_keys(spark, sf_dir)
+        .withColumn("one", F.lit(1).cast("bigint"))
         # two consumers (bucket histogram + windowed rank side) — see
         # the Catalyst-no-CSE rule
         .localCheckpoint()
     )
-    bcnt = (
-        d.groupBy("bkt")
-        .agg(F.count("*").cast("bigint").alias("cnt"))
-        .localCheckpoint()
-    )
-    off = _bucket_prefix_agg(
-        bcnt, "bkt", "cnt", lambda c: F.sum(c).cast("bigint"), "off"
-    ).select("bkt", F.coalesce("off", F.lit(0)).cast("bigint").alias("off"))
-    w = W.partitionBy("bkt").orderBy("h", "doc_id")
-    pos = (
-        d.withColumn("_r", F.row_number().over(w))
-        .join(F.broadcast(off), "bkt")
-        .withColumn("pos", (F.col("off") + F.col("_r")).cast("bigint"))
+    pos = _hash_order_prefix(d, "one").withColumn(
+        "pos", (F.col("cum_before") + 1).cast("bigint")
     )
     return pos.groupBy("source").agg(
         F.count("*").cast("bigint").alias("n_docs"),
@@ -7422,16 +7446,7 @@ def _q_train_per_source_sample(spark, sf_dir):
     top-K in its own bucket, and every row globally ahead of it also
     survives, so phase-2 ranks equal global ranks exactly. Both
     windows are keyed (no single-partition exchange anywhere)."""
-    d = _read(spark, sf_dir, "documents").select(
-        "doc_id",
-        "source",
-        F.md5(
-            F.concat(F.lit("persrc:"), F.col("doc_id").cast("string")).cast(
-                "binary"
-            )
-        ).alias("h"),
-    )
-    d = d.withColumn("bkt", F.substring("h", 1, 2))
+    d = interleave_keys(spark, sf_dir, prefix="persrc:")
     w1 = W.partitionBy("source", "bkt").orderBy("h", "doc_id")
     surv = (
         d.withColumn("_r1", F.row_number().over(w1))
@@ -7495,13 +7510,13 @@ def _q_train_packing_manifest(spark, sf_dir):
     packing: deterministic, streaming-friendly, and the bin boundaries
     are pure integer division of the exclusive prefix token sum). Per
     bin: doc count, token mass (>budget iff a doc straddles the
-    boundary — expected), first doc and start offset. Scale shape: the
-    global prefix sum never sorts the corpus — per-bucket token totals
-    (≤256 rows) theta-join into exclusive offsets (_bucket_prefix_agg)
-    and the within-bucket running sum is a keyed window
-    (ROWS UNBOUNDED PRECEDING..1 PRECEDING), so everything is
-    hash-partitioned by the key prefix; the per-bin fold is one
-    partial agg keyed by bin_id."""
+    boundary — expected), smallest doc id in the bin (min_doc_id — an
+    id-space anchor, NOT the bin's stream-order head) and start
+    offset. Scale shape: the global prefix sum never sorts the corpus
+    — _hash_order_prefix: per-bucket token totals (≤256 rows)
+    theta-join into exclusive offsets and a keyed within-bucket
+    running sum, so everything is hash-partitioned by the key prefix;
+    the per-bin fold is one partial agg keyed by bin_id."""
     ik = interleave_keys(spark, sf_dir)
     tk = (
         tokens(spark, sf_dir)
@@ -7519,28 +7534,8 @@ def _q_train_packing_manifest(spark, sf_dir):
         # two consumers: bucket totals + windowed running sum
         .localCheckpoint()
     )
-    bsum = (
-        d.groupBy("bkt")
-        .agg(F.sum("n_tokens").cast("bigint").alias("cnt"))
-        .localCheckpoint()
-    )
-    off = _bucket_prefix_agg(
-        bsum, "bkt", "cnt", lambda c: F.sum(c).cast("bigint"), "off"
-    ).select("bkt", F.coalesce("off", F.lit(0)).cast("bigint").alias("off"))
-    w = (
-        W.partitionBy("bkt")
-        .orderBy("h", "doc_id")
-        .rowsBetween(W.unboundedPreceding, -1)
-    )
-    binned = (
-        d.withColumn(
-            "run", F.coalesce(F.sum("n_tokens").over(w), F.lit(0))
-        )
-        .join(F.broadcast(off), "bkt")
-        .withColumn("cum_before", (F.col("off") + F.col("run")).cast("bigint"))
-        .withColumn(
-            "bin_id", F.expr(f"CAST(cum_before div {SEQ_BUDGET} AS BIGINT)")
-        )
+    binned = _hash_order_prefix(d, "n_tokens").withColumn(
+        "bin_id", F.expr(f"CAST(cum_before div {SEQ_BUDGET} AS BIGINT)")
     )
     return binned.groupBy("bin_id").agg(
         F.count("*").cast("bigint").alias("n_docs"),

@@ -300,7 +300,8 @@ def test_pending_r6_queries_have_no_single_partition_exchange(spark):
     1-row scalar aggregates (PMI sentence total, percentile doc total,
     Gini final) ride broadcast/checkpointed subtrees and contribute no
     SinglePartition exchange at explain time. Exclusions: the
-    iterative gates (HITS/PPR/harmonic/BFS/truss/SCC) materialize per
+    iterative gates (HITS/PPR/harmonic/BFS/truss/SCC/modularity's
+    LPA) materialize per
     round via localCheckpoint so their final plan only shows the last
     join (pinned by per-op unit tests instead), and web_crawl_budget
     legitimately carries Exchange SinglePartition for its two 1-row
