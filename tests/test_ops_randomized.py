@@ -512,3 +512,76 @@ def test_scc_bounded_random_digraph_matches_sequential(spark):
                 for r in scc_bounded(df, max_hops=mh).collect()
             }
             assert got == expect, (seed, mh)
+
+
+def test_hash_order_prefix_random_matches_sequential(spark):
+    """_hash_order_prefix (the shared two-phase exclusive-prefix-sum
+    scaffold behind the interleave rank and the packing manifest) vs a
+    sequential prefix over the true (h, doc_id) order — random weights
+    including zeros, random hex keys with shared 2-char prefixes so
+    multi-row buckets, single-row buckets and bucket-boundary
+    crossings are all exercised."""
+    from easyner_spark.queries import _hash_order_prefix
+
+    rng = random.Random(71)
+    prefixes = ["0a", "0b", "3f", "c2"]
+    rows = []
+    for doc_id in range(40):
+        h = rng.choice(prefixes) + "".join(
+            rng.choice("0123456789abcdef") for _ in range(6)
+        )
+        rows.append((doc_id, h, h[:2], rng.randrange(0, 7)))
+    df = spark.createDataFrame(
+        rows, "doc_id bigint, h string, bkt string, v bigint"
+    ).localCheckpoint()
+    ordered = sorted(rows, key=lambda r: (r[1], r[0]))
+    expect, cum = {}, 0
+    for doc_id, _h, _b, v in ordered:
+        expect[doc_id] = cum
+        cum += v
+    got = {
+        r["doc_id"]: r["cum_before"]
+        for r in _hash_order_prefix(df, "v").collect()
+    }
+    assert got == expect
+
+
+def test_per_source_two_phase_topk_matches_global_rank(spark):
+    """The (group, bucket)->group two-phase top-K (the
+    train_per_source_sample shape) vs a naive per-group sort, on
+    random groupings that include groups SMALLER than K, groups whose
+    top-K spans many buckets, and ties broken by doc_id."""
+    from pyspark.sql import Window as W
+
+    from easyner_spark.queries import PERSRC_K
+
+    rng = random.Random(73)
+    rows = []
+    for doc_id in range(120):
+        src = f"s{rng.randrange(7)}"
+        h = "".join(rng.choice("0123456789abcdef") for _ in range(8))
+        rows.append((doc_id, src, h, h[:2]))
+    df = spark.createDataFrame(
+        rows, "doc_id bigint, source string, h string, bkt string"
+    )
+    expect = {}
+    by_src: dict[str, list] = {}
+    for doc_id, src, h, _b in rows:
+        by_src.setdefault(src, []).append((h, doc_id))
+    for src, items in by_src.items():
+        for rk, (h, doc_id) in enumerate(sorted(items)[:PERSRC_K], 1):
+            expect[(src, rk)] = doc_id
+    w1 = W.partitionBy("source", "bkt").orderBy("h", "doc_id")
+    surv = (
+        df.withColumn("r1", F.row_number().over(w1))
+        .filter(F.col("r1") <= PERSRC_K)
+        .drop("r1", "bkt")
+    )
+    w2 = W.partitionBy("source").orderBy("h", "doc_id")
+    got = {
+        (r["source"], r["rk"]): r["doc_id"]
+        for r in surv.withColumn("rk", F.row_number().over(w2))
+        .filter(F.col("rk") <= PERSRC_K)
+        .collect()
+    }
+    assert got == expect
