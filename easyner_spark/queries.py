@@ -7545,6 +7545,106 @@ def _q_train_packing_manifest(spark, sf_dir):
     )
 
 
+# ---------------------------------------------------------------------------
+# pending: audio framing grid over opaque blobs
+# ---------------------------------------------------------------------------
+
+# 8 kHz / 8-bit mono interpretation of the synthetic payload: 8 bytes
+# per millisecond; the classic 25 ms / 10 ms speech framing grid.
+AUDIO_BYTES_PER_MS = 8
+AUDIO_WIN_MS = 25
+AUDIO_HOP_MS = 10
+
+_AUDIO_FRAMES_ORACLE = f"""
+WITH meta AS (
+  SELECT doc_id, text,
+         CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+         CAST(octet_length(encode(text)) // {AUDIO_BYTES_PER_MS} AS BIGINT)
+           AS dur_ms
+  FROM documents
+),
+counted AS (
+  SELECT doc_id, text, n_bytes, dur_ms,
+         CAST(CASE WHEN dur_ms >= {AUDIO_WIN_MS}
+                   THEN (dur_ms - {AUDIO_WIN_MS}) // {AUDIO_HOP_MS} + 1
+                   ELSE 0 END AS BIGINT) AS n_frames
+  FROM meta
+),
+frames AS (
+  SELECT doc_id, n_bytes, n_frames, text,
+         CAST(unnest(range(n_frames)) AS BIGINT) AS fidx
+  FROM counted WHERE n_frames > 0
+)
+SELECT doc_id, n_frames, fidx,
+       CAST(fidx * {AUDIO_HOP_MS} AS BIGINT) AS start_ms,
+       CAST(fidx * {AUDIO_HOP_MS} * {AUDIO_BYTES_PER_MS} AS BIGINT)
+         AS start_byte,
+       CAST(ascii(substring(
+           text, CAST(fidx * {AUDIO_HOP_MS} * {AUDIO_BYTES_PER_MS} + 1
+                      AS INT), 1)) AS BIGINT) AS head_code
+FROM frames
+"""
+
+
+def _q_multimodal_audio_frames(spark, sf_dir):
+    """Audio framing grid over opaque blobs — the window/hop manifest
+    an audio feature extractor (MFCC/VAD/whisper-style chunking)
+    materializes BEFORE any decode: interpret each payload as 8 kHz
+    8-bit mono ({AUDIO_BYTES_PER_MS} bytes/ms), lay the classic
+    25 ms / 10 ms speech frame grid, emit per frame its index, start
+    time, byte offset and the first payload byte at that offset (the
+    content-addressing step; the corpus payload is ASCII so the char
+    read equals the byte read — documented; real binary payloads take
+    the same offsets through ops/multimodal.py's mapInPandas decoder,
+    which this grid drives). All pure-JVM whole-stage-codegen
+    arithmetic + one explode — NO shuffle at all, embarrassingly
+    parallel at any scale; frame count per blob is duration-bounded so
+    output is linear in total audio length. Sibling of
+    multimodal_frame_sample (video keyframes); n_frames arithmetic:
+    (dur − win) div hop + 1 for dur ≥ win, else 0 — the exact fencepost
+    both engines must agree on (integer, non-negative)."""
+    d = _read(spark, sf_dir, "documents")
+    blob = F.encode(F.col("text"), "utf-8")
+    counted = d.select(
+        "doc_id",
+        "text",
+        F.octet_length(blob).cast("bigint").alias("n_bytes"),
+        F.expr(
+            f"CAST(octet_length(encode(text, 'utf-8'))"
+            f" div {AUDIO_BYTES_PER_MS} AS BIGINT)"
+        ).alias("dur_ms"),
+    ).withColumn(
+        "n_frames",
+        F.expr(
+            f"CAST(CASE WHEN dur_ms >= {AUDIO_WIN_MS} THEN"
+            f" (dur_ms - {AUDIO_WIN_MS}) div {AUDIO_HOP_MS} + 1"
+            f" ELSE 0 END AS BIGINT)"
+        ),
+    )
+    frames = counted.filter(F.col("n_frames") > 0).select(
+        "doc_id",
+        "n_frames",
+        "text",
+        F.explode(
+            F.sequence(F.lit(0).cast("bigint"), F.col("n_frames") - 1)
+        ).alias("fidx"),
+    )
+    return frames.select(
+        "doc_id",
+        "n_frames",
+        F.col("fidx").cast("bigint").alias("fidx"),
+        (F.col("fidx") * AUDIO_HOP_MS).cast("bigint").alias("start_ms"),
+        (F.col("fidx") * AUDIO_HOP_MS * AUDIO_BYTES_PER_MS)
+        .cast("bigint")
+        .alias("start_byte"),
+        F.expr(
+            f"CAST(ascii(substring(text,"
+            f" CAST(fidx * {AUDIO_HOP_MS} * {AUDIO_BYTES_PER_MS} + 1"
+            f" AS INT), 1)) AS BIGINT)"
+        ).alias("head_code"),
+    )
+
+
 # name -> (query fn, oracle sql); registered into QUERIES/ORACLES +
 # window 6 next round, alongside the forced kg_graph_two_hop /
 # index_postings_rare re-gates.
@@ -7592,6 +7692,10 @@ PENDING_R6: dict = {
     "train_packing_manifest": (
         _q_train_packing_manifest,
         _PACKING_ORACLE,
+    ),
+    "multimodal_audio_frames": (
+        _q_multimodal_audio_frames,
+        _AUDIO_FRAMES_ORACLE,
     ),
 }
 

@@ -327,6 +327,7 @@ def test_pending_r6_queries_have_no_single_partition_exchange(spark):
         "dedup_url_recrawl",
         "train_per_source_sample",
         "train_packing_manifest",
+        "multimodal_audio_frames",
     ):
         plan = _plan(PENDING_R6[name][0](spark, SF_DIR))
         assert "Exchange SinglePartition" not in plan, name
