@@ -172,19 +172,25 @@ def pagerank(
             .groupBy("node")
             .agg(F.sum("c").alias("s"))
         )
-        new_ranks = (
-            nodes.join(in_sum, "node", "left")
-            .select(
-                "node",
-                F.expr(
-                    f"CAST(({base_expr}) + floor({PR_DAMP_NUM}"
-                    f" * coalesce(s, CAST(0 AS DECIMAL(38,0)))"
-                    f" / {PR_DAMP_DEN}) AS BIGINT)"
-                ).alias("rank"),
-            )
-            .localCheckpoint()
+        new_ranks = nodes.join(in_sum, "node", "left").select(
+            "node",
+            F.expr(
+                f"CAST(({base_expr}) + floor({PR_DAMP_NUM}"
+                f" * coalesce(s, CAST(0 AS DECIMAL(38,0)))"
+                f" / {PR_DAMP_DEN}) AS BIGINT)"
+            ).alias("rank"),
         )
         if epsilon_scaled is not None:
+            # the convergence check consumes each round's frame twice
+            # (delta join + next round) — materialize it; the fixed-
+            # iteration path below chains lazily instead: each round's
+            # frame has exactly ONE consumer (the next round), the
+            # loop inputs (eo/nodes) are already checkpointed, and a
+            # bounded iteration count keeps the lineage shallow, so
+            # the whole recursion runs as ONE job instead of paying an
+            # eager checkpoint job per round (r6 opt, guide §1.2 —
+            # scheduler overhead dominated these SF-invariant loops).
+            new_ranks = new_ranks.localCheckpoint()
             # exact integer convergence check: one hash-join on node
             # (both sides already materialized) + a bounded max agg
             delta = (
@@ -770,9 +776,12 @@ def hits(
         .distinct()
         .localCheckpoint()
     )
+    # lazy: derived from the checkpointed nodes frame and consumed once
+    # (by the first half-step) — an eager checkpoint here paid a job
+    # for nothing (r6 opt)
     auth = nodes.select(
         "node", F.lit(scale).cast("decimal(38,0)").alias("score")
-    ).localCheckpoint()
+    )
     hub = auth
 
     def _half(scores: DataFrame, key: str, out: str) -> DataFrame:
@@ -789,6 +798,10 @@ def hits(
             .localCheckpoint()
         )
         total = raw.agg(F.sum("raw").alias("_l1"))
+        # lazy result: every input that fans out (raw) is checkpointed
+        # above, and the normalized frame has exactly one consumer (the
+        # next half-step, or the final hub⋈auth join) — the old eager
+        # per-half checkpoint paid 2·iterations extra jobs (r6 opt)
         return (
             nodes.join(raw, "node", "left")
             .crossJoin(F.broadcast(total))
@@ -799,7 +812,6 @@ def hits(
                     " AS DECIMAL(38,0))"
                 ).alias("score"),
             )
-            .localCheckpoint()
         )
 
     for _ in range(iterations):

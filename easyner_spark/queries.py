@@ -415,13 +415,33 @@ GROUP BY surface
 )
 def q_kg_entity_frequency(spark, sf_dir):
     m = mentions(spark, sf_dir)
-    agg = m.groupBy("surface").agg(
-        F.count("*").alias("total_count"),
-        F.countDistinct("doc_id").alias("articles_spanned"),
-        F.countDistinct("batch_id").alias("batches_spanned"),
-        F.array_join(
-            F.array_sort(F.collect_set(F.col("batch_id").cast("string"))), "; "
-        ).alias("batch_set"),
+    # r6 opt (guide §2.3): the one-shot agg with TWO count(DISTINCT)
+    # groups planned an Expand — every mention row was tripled and
+    # object-hash-aggregated (no codegen) over a 4-column key. Two-level
+    # instead: pre-aggregate by (surface, doc_id, batch_id) — a codegen
+    # hash agg whose exchange carries one row per (surface, doc) — then
+    # derive every statistic without any distinct aggregate (batch_id
+    # is doc_id-determined, so (surface, doc_id) is unique in g;
+    # batches_spanned == size of the collected batch set). Same values.
+    g = m.groupBy("surface", "doc_id", "batch_id").agg(
+        F.count("*").alias("c")
+    )
+    agg = (
+        g.groupBy("surface")
+        .agg(
+            F.sum("c").cast("bigint").alias("total_count"),
+            F.count("*").cast("bigint").alias("articles_spanned"),
+            F.array_sort(
+                F.collect_set(F.col("batch_id").cast("string"))
+            ).alias("_bs"),
+        )
+        .select(
+            "surface",
+            "total_count",
+            "articles_spanned",
+            F.size("_bs").cast("bigint").alias("batches_spanned"),
+            F.array_join(F.col("_bs"), "; ").alias("batch_set"),
+        )
     )
     # (total_count DESC, surface) is a unique total order (surface is
     # the group key), so RANK == the two-phase bucketed row_number —
@@ -487,7 +507,15 @@ FROM linked a JOIN linked b
 """,
 )
 def q_kg_triples(spark, sf_dir):
-    lk = linked(spark, sf_dir)
+    # r6 opt (guide §2.3/§2.4): both self-join sides re-ran the full
+    # tokenize→NER→NEL chain (2 parquet scans + 2 SMJ exchanges of
+    # independently recomputed data in the before plan). Materialize
+    # once, projected to the four columns the pair join consumes.
+    lk = (
+        linked(spark, sf_dir)
+        .select("doc_id", "sent_idx", "pos", "ent_name")
+        .localCheckpoint()
+    )
     a, b = lk.alias("a"), lk.alias("b")
     return a.join(
         b,
@@ -974,7 +1002,12 @@ WHERE CAST(i.n_inter AS DOUBLE) / (sa.n + sb.n - i.n_inter) >= 0.5
 """,
 )
 def q_dedup_jaccard(spark, sf_dir):
-    ds = shingles(spark, sf_dir).distinct()
+    # r6 opt (guide §2.4): the distinct shingle frame fans out to THREE
+    # consumers (both self-join sides + the per-doc size agg) and
+    # Catalyst does not dedupe identical logical subtrees — the plan
+    # re-ran the whole tokenize→shingle pipeline 4× (4 parquet scans in
+    # the before plan). One localCheckpoint makes it run once.
+    ds = shingles(spark, sf_dir).distinct().localCheckpoint()
     sizes = ds.groupBy("doc_id").agg(F.count("*").alias("n"))
     a = ds.alias("a")
     b = ds.alias("b")
@@ -1095,6 +1128,11 @@ def _minhash_pairs_from(sh: DataFrame) -> DataFrame:
             )
         ).alias("b"),
     ).select("doc_id", "b.band_hash", "b.band_id")
+    # r6 opt (guide §2.4): both self-join sides consumed the band frame
+    # and Catalyst does not dedupe the fan-out — the whole
+    # tokenize→shingle→minhash-signature pipeline ran twice (one full
+    # pass per side in the before plan). Materialize once.
+    bands = bands.localCheckpoint()
     a, b = bands.alias("a"), bands.alias("b")
     return (
         a.join(
@@ -1380,6 +1418,41 @@ def _lsh_plane_sql() -> str:
     )
 
 
+# r6 opt (guide §2.3/§1.2): the hyperplane coefficient depends only on
+# (plane, pos) — a tiny deterministic matrix. Evaluate the md5 parity
+# rule ONCE at plan-build time (hashlib.md5 == both engines' md5) and
+# inline the ±1 literals, instead of exploding every vector into
+# rows × dims × planes rows and recomputing an md5 on each: the bucket
+# of a vector becomes one narrow per-row expression (sequential
+# left-to-right aggregate — the same pos order the oracle's unnest
+# sums in), and the only exchange left is the final bucket agg.
+_LSH_COEF_LEN = 256  # covers any dim ≤ 256 (corpus embeddings are 64-d)
+
+
+def _lsh_coef_literal(plane: int) -> str:
+    import hashlib
+
+    coefs = []
+    for pos in range(_LSH_COEF_LEN):
+        c = hashlib.md5(f"{plane}|{pos}".encode()).hexdigest()[0]
+        coefs.append("1" if ord(c) % 2 == 0 else "-1")
+    return f"array({', '.join(coefs)})"
+
+
+def _lsh_bucket_expr() -> str:
+    """BIGINT bucket id of the `embedding` column under the md5-parity
+    hyperplane family — the Spark twin of the oracle's proj/bits CTEs."""
+    terms = []
+    for plane in range(LSH_PLANES):
+        p = (
+            f"aggregate(transform(embedding, (x, i) -> CAST(x AS DOUBLE)"
+            f" * element_at({_lsh_coef_literal(plane)}, i + 1)),"
+            " 0D, (acc, v) -> acc + v)"
+        )
+        terms.append(f"CASE WHEN ({p}) >= 0 THEN {1 << plane} ELSE 0 END")
+    return "CAST(" + " + ".join(terms) + " AS BIGINT)"
+
+
 @register(
     "embed_lsh_buckets",
     f"""
@@ -1406,24 +1479,8 @@ def q_embed_lsh_buckets(spark, sf_dir):
     """Random-hyperplane LSH bucketing: the scale path for ANN — bucket
     first, then search within buckets (candidate set ≪ corpus)."""
     e = _read(spark, sf_dir, "embeddings")
-    v = e.select(
-        "vec_id", F.posexplode(F.col("embedding")).alias("pos", "val")
-    )
-    planes = F.explode(F.sequence(F.lit(0), F.lit(LSH_PLANES - 1))).alias("plane")
-    coef = F.expr(
-        "CASE WHEN ascii(substring(md5(CAST(plane AS STRING) || '|' ||"
-        " CAST(pos AS STRING)), 1, 1)) % 2 = 0 THEN 1 ELSE -1 END"
-    )
-    proj = (
-        v.select("vec_id", "pos", "val", planes)
-        .groupBy("vec_id", "plane")
-        .agg(F.sum(F.col("val").cast("double") * coef).alias("p"))
-    )
-    bits = proj.groupBy("vec_id").agg(
-        F.sum(F.expr("CASE WHEN p >= 0 THEN shiftleft(1, plane) ELSE 0 END"))
-        .cast("bigint")
-        .alias("bucket")
-    )
+    # see _lsh_bucket_expr: plan-time coefficients, no explode, no md5
+    bits = e.select("vec_id", F.expr(_lsh_bucket_expr()).alias("bucket"))
     return bits.groupBy("bucket").agg(
         F.count("*").alias("n_vecs"),
         F.min("vec_id").cast("bigint").alias("min_vec_id"),
@@ -1486,19 +1543,39 @@ def q_dedup_simhash(spark, sf_dir):
     join is the CORRECTNESS oracle shape — the scale path buckets by
     simhash bands exactly like dedup_minhash_pairs."""
     t = tokens(spark, sf_dir)
-    bit = F.explode(F.sequence(F.lit(0), F.lit(SIMHASH_BITS - 1))).alias("bit")
-    v = F.expr(
-        "CASE WHEN ascii(substring(md5(token), bit + 1, 1)) % 2 = 0 THEN 1 ELSE -1 END"
-    )
-    bitvals = (
-        t.select("doc_id", "token", bit)
-        .groupBy("doc_id", "bit")
-        .agg(F.sum(v).alias("v"))
-    )
-    sigs = bitvals.groupBy("doc_id").agg(
-        F.sum(F.expr("CASE WHEN v >= 0 THEN shiftleft(1, CAST(bit AS INT)) ELSE 0 END"))
-        .cast("bigint")
-        .alias("simhash")
+    # r6 opt (guide §2.3/§1.2): the before plan exploded every token ×16
+    # bit rows and recomputed md5(token) on EACH — 16 md5 calls per
+    # token and a 16×-wider shuffle into the (doc_id, bit) agg. Hoist
+    # the md5 to once per token and fold all 16 bit counters into ONE
+    # map-side-partial agg keyed by doc_id (±1 integer sums — exact and
+    # order-invariant, so the result is bit-identical to the grouped
+    # form the oracle still uses).
+    h = t.select("doc_id", F.md5(F.col("token").cast("binary")).alias("h"))
+    bit_sums = [
+        F.sum(
+            F.expr(
+                f"CASE WHEN ascii(substring(h, {b + 1}, 1)) % 2 = 0"
+                " THEN 1 ELSE -1 END"
+            )
+        ).alias(f"v{b}")
+        for b in range(SIMHASH_BITS)
+    ]
+    sigs = (
+        h.groupBy("doc_id")
+        .agg(*bit_sums)
+        .select(
+            "doc_id",
+            F.expr(
+                "CAST("
+                + " + ".join(
+                    f"CASE WHEN v{b} >= 0 THEN {1 << b} ELSE 0 END"
+                    for b in range(SIMHASH_BITS)
+                )
+                + " AS BIGINT)"
+            ).alias("simhash"),
+        )
+        # both all-pairs join sides consume sigs — materialize once
+        .localCheckpoint()
     )
     a, b = sigs.alias("a"), sigs.alias("b")
     ham = F.expr("bit_count(a.simhash ^ b.simhash)")
@@ -1557,22 +1634,12 @@ def q_embed_lsh_knn(spark, sf_dir):
     (candidate set ~ corpus/2^planes), exact cosine re-ranking inside
     the bucket. Compare embed_knn_bruteforce for the exact baseline."""
     e = _read(spark, sf_dir, "embeddings")
-    v = e.select("vec_id", F.posexplode("embedding").alias("pos", "val"))
-    planes = F.explode(F.sequence(F.lit(0), F.lit(LSH_PLANES - 1))).alias("plane")
-    coef = F.expr(
-        "CASE WHEN ascii(substring(md5(CAST(plane AS STRING) || '|' ||"
-        " CAST(pos AS STRING)), 1, 1)) % 2 = 0 THEN 1 ELSE -1 END"
-    )
-    proj = (
-        v.select("vec_id", "pos", "val", planes)
-        .groupBy("vec_id", "plane")
-        .agg(F.sum(F.col("val").cast("double") * coef).alias("p"))
-    )
-    buckets = proj.groupBy("vec_id").agg(
-        F.sum(F.expr("CASE WHEN p >= 0 THEN shiftleft(1, plane) ELSE 0 END"))
-        .cast("bigint")
-        .alias("bucket")
-    )
+    # r6 opt: same plan-time-coefficient bucket expression as
+    # embed_lsh_buckets (no explode, no per-row md5); the bucket frame
+    # feeds both join sides, so materialize it once (guide §2.4).
+    buckets = e.select(
+        "vec_id", F.expr(_lsh_bucket_expr()).alias("bucket")
+    ).localCheckpoint()
     a = buckets.filter(F.col("vec_id") < KNN_QUERIES).select(
         F.col("vec_id").alias("qid"), "bucket"
     )
@@ -1628,7 +1695,9 @@ def q_kg_cooccur_pmi(spark, sf_dir):
     """Document-level PMI for co-occurring entity pairs — the scoring
     layer a KG builder puts on top of raw co-occurrence triples."""
     m = mentions(spark, sf_dir)
-    doc_terms = m.select("doc_id", "surface").distinct()
+    # r6 opt (guide §2.4): doc_terms feeds THREE consumers (df agg +
+    # both pair-join sides) — materialize the distinct frame once.
+    doc_terms = m.select("doc_id", "surface").distinct().localCheckpoint()
     # lazy 1-row aggregate, cross-joined broadcast — the query stays a
     # single Spark job instead of an eager .count() pre-pass
     n_docs = tokens(spark, sf_dir).agg(
@@ -2652,7 +2721,14 @@ def q_kg_graph_edges(spark, sf_dir):
     (src, dst, co-occurrence weight, document support). In production
     this lands partitioned/bucketed by src so neighbor expansion is a
     single-partition read; the aggregation is map-side partial."""
-    lk = linked(spark, sf_dir)
+    # r6 opt (guide §2.3/§2.4): materialize the linked chain once for
+    # the two self-join sides, projected to the pair-join columns
+    # (same fix as kg_triples/dedges).
+    lk = (
+        linked(spark, sf_dir)
+        .select("doc_id", "sent_idx", "pos", "ent_id")
+        .localCheckpoint()
+    )
     a, b = lk.alias("a"), lk.alias("b")
     return (
         a.join(
@@ -2700,8 +2776,23 @@ uedges AS (
 )
 
 
+def _linked_pair_base(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, sent_idx, pos, ent_id) — the linked chain projected to
+    the four columns every co-occurrence pair join needs, materialized
+    ONCE (r6 opt, guide §2.3/§2.4): dedges/wedges consume it on both
+    self-join sides, and Catalyst does not dedupe the fan-out — without
+    this every graph query re-ran tokenize→NER→NEL twice. The early
+    projection also keeps surface/class/ent_name out of the
+    materialized blocks and the join exchanges."""
+    return (
+        linked(spark, sf_dir)
+        .select("doc_id", "sent_idx", "pos", "ent_id")
+        .localCheckpoint()
+    )
+
+
 def dedges(spark: SparkSession, sf_dir: str) -> DataFrame:
-    lk = linked(spark, sf_dir)
+    lk = _linked_pair_base(spark, sf_dir)
     a, b = lk.alias("a"), lk.alias("b")
     return (
         a.join(
@@ -2722,7 +2813,7 @@ def wedges(spark: SparkSession, sf_dir: str) -> DataFrame:
     of distinct, so every weighted graph op runs on the same graph
     definition (kg_graph_edges keeps its own published contract with
     doc-support columns and no loop filter)."""
-    lk = linked(spark, sf_dir)
+    lk = _linked_pair_base(spark, sf_dir)
     a, b = lk.alias("a"), lk.alias("b")
     return (
         a.join(
@@ -3434,7 +3525,11 @@ def q_web_boilerplate_ratio(spark, sf_dir):
     actual filter signal: docs above a ratio threshold are dropped or
     re-extracted. Self-join of the shingle table with its own aggregate;
     both sides shuffle on (source, shingle), ratio divides exact ints."""
-    sh = _src_shingles(spark, sf_dir)
+    # r6 opt (guide §2.4): sh fans out to THREE consumers (boiler agg,
+    # per-doc sizes, the semi-join probe side) — the before plan ran
+    # the tokenize→shingle→source-join→distinct pipeline three times
+    # (3 parquet scans of documents per branch). Materialize once.
+    sh = _src_shingles(spark, sf_dir).localCheckpoint()
     boiler = (
         sh.groupBy("source", "shingle")
         .agg(F.countDistinct("doc_id").alias("nd"))
@@ -4296,26 +4391,36 @@ def q_profile_orders_columns(spark, sf_dir):
         ("o_orderdate_us", "odate_us", "bigint"),
         ("o_orderpriority", "o_orderpriority", "string"),
     ]
-    aggs = [F.count("*").cast("bigint").alias("n_rows")]
+    # r6 opt (guide §2.3): SIX count(DISTINCT col) over different
+    # columns in one aggregate planned an Expand — every orders row was
+    # duplicated 7× and sort-aggregated over a 7-column key (the before
+    # plan's Expand + 3 SortAggregates). Instead profile each column
+    # from its own grouped-by-value frame: one partial hash agg per
+    # column (shuffles only the distinct values), every statistic
+    # (n_rows, nulls, cardinality, min/max) derivable from the groups.
+    # Same six rows, no Expand, no full-row sort anywhere.
+    branches = []
     for label, c, _ in cols:
-        aggs += [
-            (F.count("*") - F.count(c)).cast("bigint").alias(f"nn_{label}"),
-            F.countDistinct(c).cast("bigint").alias(f"nd_{label}"),
-            F.min(c).cast("string").alias(f"mn_{label}"),
-            F.max(c).cast("string").alias(f"mx_{label}"),
-        ]
-    one = o.agg(*aggs)
-    stack_args = ", ".join(
-        f"'{label}', nn_{label}, nd_{label}, mn_{label}, mx_{label}"
-        for label, _, _ in cols
-    )
-    return one.select(
-        F.expr(
-            f"stack({len(cols)}, {stack_args}) AS "
-            "(col_name, n_nulls, n_distinct, min_s, max_s)"
-        ),
-        "n_rows",
-    ).select("col_name", "n_rows", "n_nulls", "n_distinct", "min_s", "max_s")
+        g = o.groupBy(F.col(c).alias("_v")).agg(F.count("*").alias("_n"))
+        branches.append(
+            g.agg(
+                F.coalesce(F.sum("_n"), F.lit(0)).cast("bigint").alias("n_rows"),
+                F.coalesce(
+                    F.sum(F.when(F.col("_v").isNull(), F.col("_n"))), F.lit(0)
+                ).cast("bigint").alias("n_nulls"),
+                F.count("_v").cast("bigint").alias("n_distinct"),
+                F.min("_v").cast("string").alias("min_s"),
+                F.max("_v").cast("string").alias("max_s"),
+            ).select(
+                F.lit(label).alias("col_name"),
+                "n_rows",
+                "n_nulls",
+                "n_distinct",
+                "min_s",
+                "max_s",
+            )
+        )
+    return functools.reduce(DataFrame.unionByName, branches)
 
 
 @register(

@@ -292,6 +292,11 @@ def connected_components(
                 "node",
                 F.least(F.col("label"), F.coalesce("nlabel", "label")).alias("label"),
             )
+            # r6 opt (guide §2.4): merged feeds BOTH sides of the
+            # pointer-jump join (parent is merged re-keyed) and Catalyst
+            # does not dedupe the fan-out — without this the neighbor-min
+            # join+agg executed twice per round.
+            .localCheckpoint()
         )
         # pointer jumping: label <- label's label
         parent = merged.select(
