@@ -36,15 +36,29 @@ def _cosine(a: str, b: str):
     )
 
 
+def _cosine_pre(a: str, b: str, na: str, nb: str):
+    """Cosine with the squared norms PRECOMPUTED on the input frames
+    (r6 opt, guide §1.2): a norm depends on one side only, so hoisting
+    it turns |A|·|B| interpreted higher-order aggregates into |A|+|B|.
+    The per-pair arithmetic (dot / sqrt(na·nb)) is unchanged — values
+    are bit-identical to :func:`_cosine`."""
+    return F.expr(_DOT.format(a=a, b=b)) / F.sqrt(F.col(na) * F.col(nb))
+
+
 def brute_force_knn(
     vectors: DataFrame, queries: DataFrame, k: int = 10
 ) -> DataFrame:
     """Exact top-k: queries(qid, qe) × vectors(vec_id, embedding).
     Query side broadcast; O(|Q|·|V|·d) JVM work, no shuffle of V."""
-    q = queries.select(F.col(queries.columns[0]).alias("qid"), F.col(queries.columns[1]).alias("qe"))
-    c = vectors.select(F.col("vec_id").alias("cid"), F.col("embedding").alias("ce"))
+    q = queries.select(
+        F.col(queries.columns[0]).alias("qid"),
+        F.col(queries.columns[1]).alias("qe"),
+    ).withColumn("_qn", F.expr(_NORM2.format(a="qe")))
+    c = vectors.select(
+        F.col("vec_id").alias("cid"), F.col("embedding").alias("ce")
+    ).withColumn("_cn", F.expr(_NORM2.format(a="ce")))
     scored = F.broadcast(q).join(c, F.col("qid") != F.col("cid")).select(
-        "qid", "cid", _cosine("qe", "ce").alias("cosine")
+        "qid", "cid", _cosine_pre("qe", "ce", "_qn", "_cn").alias("cosine")
     )
     w = Window.partitionBy("qid").orderBy(F.desc("cosine"), "cid")
     return scored.withColumn("rnk", F.row_number().over(w)).filter(F.col("rnk") <= k)
@@ -84,11 +98,16 @@ def ivf_build(
             F.col("embedding").alias("centroid"),
         )
     )
-    v = vectors.select("vec_id", F.col("embedding").alias("ve"))
-    sim = _cosine("ve", "centroid")
+    v = vectors.select("vec_id", F.col("embedding").alias("ve")).withColumn(
+        "_vn", F.expr(_NORM2.format(a="ve"))
+    )
+    # augmented copy only — the returned centroids frame keeps its
+    # published (list_id, centroid) schema
+    cent_n = centroids.withColumn("_cn", F.expr(_NORM2.format(a="centroid")))
+    sim = _cosine_pre("ve", "centroid", "_vn", "_cn")
     if sim_round is not None:
         sim = F.round(sim, sim_round)
-    scored = v.join(F.broadcast(centroids)).select(
+    scored = v.join(F.broadcast(cent_n)).select(
         "vec_id",
         "list_id",
         sim.alias("sim"),
@@ -118,27 +137,31 @@ def ivf_search(
     q = queries.select(
         F.col(queries.columns[0]).alias("qid"),
         F.col(queries.columns[1]).alias("qe"),
-    )
-    psim = _cosine("qe", "centroid")
+    ).withColumn("_qn", F.expr(_NORM2.format(a="qe")))
+    cent_n = centroids.withColumn("_cn", F.expr(_NORM2.format(a="centroid")))
+    psim = _cosine_pre("qe", "centroid", "_qn", "_cn")
     if sim_round is not None:
         psim = F.round(psim, sim_round)
-    qprobe = F.broadcast(q).join(F.broadcast(centroids)).select(
-        "qid", "qe", "list_id", psim.alias("sim")
+    qprobe = F.broadcast(q).join(F.broadcast(cent_n)).select(
+        "qid", "qe", "_qn", "list_id", psim.alias("sim")
     )
     pw = Window.partitionBy("qid").orderBy(F.desc("sim"), "list_id")
     probes = (
         qprobe.withColumn("_rn", F.row_number().over(pw))
         .filter(F.col("_rn") <= nprobe)
-        .select("qid", "qe", "list_id")
+        .select("qid", "qe", "_qn", "list_id")
     )
     cands = probes.join(assignments, "list_id").filter(
         F.col("qid") != F.col("vec_id")
     )
-    csim = _cosine("qe", "ce")
+    csim = _cosine_pre("qe", "ce", "_qn", "_cn")
     if sim_round is not None:
         csim = F.round(csim, sim_round)
     scored = cands.join(
-        vectors.select("vec_id", F.col("embedding").alias("ce")), "vec_id"
+        vectors.select("vec_id", F.col("embedding").alias("ce")).withColumn(
+            "_cn", F.expr(_NORM2.format(a="ce"))
+        ),
+        "vec_id",
     ).select("qid", F.col("vec_id").alias("cid"), csim.alias("cosine"))
     w = Window.partitionBy("qid").orderBy(F.desc("cosine"), "cid")
     return scored.withColumn("rnk", F.row_number().over(w)).filter(F.col("rnk") <= k)

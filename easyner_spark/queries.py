@@ -573,14 +573,27 @@ WHERE EXISTS (
 """,
 )
 def q_kg_entity_search(spark, sf_dir):
-    hits = (
+    # r6 opt (guide §2.4): the semi-join probe side re-ran the whole
+    # tokenize pipeline (sentences() and hits both start from tokens —
+    # 2 parquet scans + a distinct + a semi-join exchange in the before
+    # plan). The EXISTS over the same grouping key is just a per-group
+    # ANY — fold it into the sentence-rebuild aggregate itself: one
+    # pass, one exchange, no join. Same rows (max(flag) == EXISTS).
+    return (
         tokens(spark, sf_dir)
-        .filter(F.col("token").isin(SEARCH_TERMS))
-        .select("doc_id", "sent_idx")
-        .distinct()
-    )
-    return sentences(spark, sf_dir).join(hits, ["doc_id", "sent_idx"], "left_semi").select(
-        "doc_id", "sent_idx", "sent_text"
+        .groupBy("doc_id", "sent_idx")
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("pos", "token"))),
+                    lambda s: s["token"],
+                ),
+                " ",
+            ).alias("sent_text"),
+            F.max(F.col("token").isin(SEARCH_TERMS)).alias("_hit"),
+        )
+        .filter(F.col("_hit"))
+        .select("doc_id", "sent_idx", "sent_text")
     )
 
 
@@ -1290,27 +1303,34 @@ def q_embed_knn_bruteforce(spark, sf_dir):
     product runs JVM-side via zip_with + aggregate (no UDF, stays in
     whole-stage codegen)."""
     e = _read(spark, sf_dir, "embeddings")
-    q = e.filter(F.col("vec_id") < KNN_QUERIES).select(
-        F.col("vec_id").alias("qid"), F.col("embedding").alias("qe")
+    # r6 opt (guide §1.2): the squared norms depend on ONE side each,
+    # but were evaluated per PAIR — |Q|·|C| interpreted higher-order
+    # aggregates instead of |Q|+|C|. Hoist them onto the input frames;
+    # the cosine expression (dot / sqrt(qq·cc)) evaluates the identical
+    # double arithmetic per pair, so values are bit-identical.
+    norm2 = (
+        "aggregate(transform({a}, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)),"
+        " 0D, (acc, v) -> acc + v)"
     )
-    c = e.select(F.col("vec_id").alias("cid"), F.col("embedding").alias("ce"))
+    q = e.filter(F.col("vec_id") < KNN_QUERIES).select(
+        F.col("vec_id").alias("qid"),
+        F.col("embedding").alias("qe"),
+        F.expr(norm2.format(a="embedding")).alias("qq"),
+    )
+    c = e.select(
+        F.col("vec_id").alias("cid"),
+        F.col("embedding").alias("ce"),
+        F.expr(norm2.format(a="embedding")).alias("cc"),
+    )
     dot = F.expr(
         "aggregate(zip_with(qe, ce, (x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)),"
-        " 0D, (acc, v) -> acc + v)"
-    )
-    qq = F.expr(
-        "aggregate(transform(qe, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)),"
-        " 0D, (acc, v) -> acc + v)"
-    )
-    cc = F.expr(
-        "aggregate(transform(ce, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)),"
         " 0D, (acc, v) -> acc + v)"
     )
     pairs = F.broadcast(q).join(c, F.col("qid") != F.col("cid"))
     scored = pairs.select(
         "qid",
         "cid",
-        F.round(dot / F.sqrt(qq * cc), 6).alias("cosine"),
+        F.round(dot / F.sqrt(F.col("qq") * F.col("cc")), 6).alias("cosine"),
     )
     w = W.partitionBy("qid").orderBy(F.desc("cosine"), "cid")
     return (
@@ -1646,22 +1666,35 @@ def q_embed_lsh_knn(spark, sf_dir):
     b = buckets.select(F.col("vec_id").alias("cid"), "bucket")
     pairs = a.join(b, "bucket").filter(F.col("qid") != F.col("cid")).select("qid", "cid")
 
-    qe = e.select(F.col("vec_id").alias("qid"), F.col("embedding").alias("qe"))
-    ce = e.select(F.col("vec_id").alias("cid"), F.col("embedding").alias("ce"))
+    # r6 opt: norms hoisted onto the per-vector frames (one evaluation
+    # per vector, not per candidate pair) — same double arithmetic per
+    # pair, identical values (see embed_knn_bruteforce).
+    norm2 = (
+        "aggregate(transform({a}, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)),"
+        " 0D, (acc, v) -> acc + v)"
+    )
+    qe = e.select(
+        F.col("vec_id").alias("qid"),
+        F.col("embedding").alias("qe"),
+        F.expr(norm2.format(a="embedding")).alias("qq"),
+    )
+    ce = e.select(
+        F.col("vec_id").alias("cid"),
+        F.col("embedding").alias("ce"),
+        F.expr(norm2.format(a="embedding")).alias("cc"),
+    )
     dot = F.expr(
         "aggregate(zip_with(qe, ce, (x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)),"
         " 0D, (acc, v) -> acc + v)"
     )
-    qq = F.expr(
-        "aggregate(transform(qe, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), 0D, (acc, v) -> acc + v)"
-    )
-    cc = F.expr(
-        "aggregate(transform(ce, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), 0D, (acc, v) -> acc + v)"
-    )
     scored = (
         pairs.join(F.broadcast(qe), "qid")
         .join(ce, "cid")
-        .select("qid", "cid", F.round(dot / F.sqrt(qq * cc), 6).alias("cosine"))
+        .select(
+            "qid",
+            "cid",
+            F.round(dot / F.sqrt(F.col("qq") * F.col("cc")), 6).alias("cosine"),
+        )
     )
     w = W.partitionBy("qid").orderBy(F.desc("cosine"), "cid")
     return scored.withColumn("rnk", F.row_number().over(w).cast("bigint")).filter(
@@ -4042,12 +4075,15 @@ def q_events_retention_hourly(spark, sf_dir):
     (user, hour+1) — an equi hash join, never a window over the global
     stream; retention is an exact integer ppm (no float division)."""
     e = _read(spark, sf_dir, "events")
+    # r6 opt (guide §2.4): act fans out THREE ways (semi-join probe,
+    # shifted build side, the n_active agg) — materialize the distinct
+    # (hour, user) frame once instead of scanning events per consumer.
     act = e.select(
         F.unix_micros(F.date_trunc("hour", F.col("ts").cast("timestamp"))).alias(
             "hour_us"
         ),
         "user_id",
-    ).distinct()
+    ).distinct().localCheckpoint()
     nxt = act.select(
         (F.col("hour_us") - 3_600_000_000).alias("hour_us"), "user_id"
     )
@@ -4709,17 +4745,27 @@ def q_dedup_minhash_verified(spark, sf_dir):
     oracle contract). Plan: the candidate equi-join plus two broadcast-
     free hash joins back to the signature table — agreement is a pure
     zip_with fold, no shuffle beyond the joins."""
-    pairs = QUERIES["dedup_minhash_pairs"](spark, sf_dir)
-    sh = shingles(spark, sf_dir)
-    sigs = sh.groupBy("doc_id").agg(
-        F.array(
-            *[
-                F.min(
-                    F.md5(F.concat(F.lit(f"{s}|"), F.col("shingle")).cast("binary"))
-                )
-                for s in range(MINHASH_SEEDS)
-            ]
-        ).alias("sig")
+    # r6 opt (guide §2.4): one materialized shingle frame feeds the
+    # candidate pipeline AND the signature agg, and the signature frame
+    # is materialized before its two join sides — tokenize+shingle ran
+    # 3× before, once now.
+    sh = shingles(spark, sf_dir).localCheckpoint()
+    pairs = _minhash_pairs_from(sh)
+    sigs = (
+        sh.groupBy("doc_id")
+        .agg(
+            F.array(
+                *[
+                    F.min(
+                        F.md5(
+                            F.concat(F.lit(f"{s}|"), F.col("shingle")).cast("binary")
+                        )
+                    )
+                    for s in range(MINHASH_SEEDS)
+                ]
+            ).alias("sig")
+        )
+        .localCheckpoint()
     )
     sa = sigs.select(F.col("doc_id").alias("doc_a"), F.col("sig").alias("sig_a"))
     sb = sigs.select(F.col("doc_id").alias("doc_b"), F.col("sig").alias("sig_b"))
