@@ -86,6 +86,23 @@ def _read(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 
 
+def _spread(df: DataFrame) -> DataFrame:
+    """Input-skew guard (r6 opt, guide §2.5): the testdata parquet files
+    hold ONE row group, so Spark's byte-range splits all collapse onto
+    a single task and every narrow expression chain above the first
+    exchange runs on one core. When the scan under-parallelizes, spread
+    the (still tiny, pre-explode) rows round-robin across the default
+    parallelism — a few MB of shuffle that unlocks every core for the
+    tokenize/slide work. Scale-adaptive by construction: a production
+    table scans as thousands of splits, the branch is not taken, and no
+    shuffle is added."""
+    sc = df.sparkSession.sparkContext
+    target = sc.defaultParallelism
+    if df.rdd.getNumPartitions() < target:
+        df = df.repartition(target)
+    return df
+
+
 # ---------------------------------------------------------------------------
 # shared Spark building blocks
 # ---------------------------------------------------------------------------
@@ -105,9 +122,10 @@ def _doc_tokens(docs: DataFrame) -> DataFrame:
 
 def tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
     """documents → (doc_id, pos, sent_idx, batch_id, token). Narrow plan:
-    posexplode keeps within-row order, no shuffle."""
+    posexplode keeps within-row order, no shuffle (the _spread guard
+    redistributes the pre-explode rows when the scan is one split)."""
     return (
-        _doc_tokens(_read(spark, sf_dir, "documents"))
+        _doc_tokens(_spread(_read(spark, sf_dir, "documents").select("doc_id", "text")))
         .select(
             "doc_id",
             "pos",
@@ -205,20 +223,44 @@ linked AS (
 
 
 def sentences(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Sentence windows rebuilt from tokens (deterministic order-by-pos)."""
+    """Sentence windows rebuilt from tokens (deterministic order-by-pos).
+
+    r6 opt (guide §2.4): a sentence is a fixed window of SENT_LEN raw
+    split positions of one row's text, so the rebuild is intra-row —
+    slice the split array per window and drop empty tokens. The old
+    groupBy(doc_id, sent_idx)+collect_list shuffled every token and
+    object-hash-aggregated them back into the very arrays the row
+    already held; this plan is narrow (scan → project → explode, ZERO
+    exchanges). Row set and values are identical: slice order == pos
+    order, concat_ws == array_join, size(non-empty) == count(*), and
+    windows with no non-empty token had no group before == filtered
+    here."""
+    docs = _spread(_read(spark, sf_dir, "documents").select("doc_id", "text"))
     return (
-        tokens(spark, sf_dir)
-        .groupBy("doc_id", "sent_idx")
-        .agg(
-            F.array_join(
-                F.transform(
-                    F.array_sort(F.collect_list(F.struct("pos", "token"))),
-                    lambda s: s["token"],
-                ),
-                " ",
-            ).alias("sent_text"),
-            F.count("*").cast("bigint").alias("n_tokens"),
+        docs.select(
+            "doc_id",
+            F.expr("split(text, ' ')").alias("_raw"),
         )
+        .select(
+            "doc_id",
+            F.explode(
+                F.expr(
+                    f"transform(sequence(0, CAST((size(_raw) + {SENT_LEN - 1})"
+                    f" DIV {SENT_LEN} AS INT) - 1),"
+                    f" i -> named_struct("
+                    f"'sent_idx', CAST(i AS INT),"
+                    f" 'toks', filter(slice(_raw, i * {SENT_LEN} + 1,"
+                    f" {SENT_LEN}), x -> x != '')))"
+                )
+            ).alias("_s"),
+        )
+        .select(
+            "doc_id",
+            F.col("_s.sent_idx").alias("sent_idx"),
+            F.expr("concat_ws(' ', _s.toks)").alias("sent_text"),
+            F.expr("size(_s.toks)").cast("bigint").alias("n_tokens"),
+        )
+        .filter(F.col("n_tokens") > 0)
     )
 
 
@@ -238,9 +280,20 @@ sentences AS (
 
 
 def shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return _shingles_from_tokens(
-        tokens(spark, sf_dir).select("doc_id", "pos", "token")
+    # r6 opt (guide §2.4): the non-empty token sequence of a document
+    # is derivable intra-row from its text — filter(split(...)) — so
+    # the shingle slide needs NO groupBy/collect_list exchange at all.
+    # Every shingle consumer (jaccard/containment/minhash/boilerplate/
+    # contamination/novelty) drops one full-corpus shuffle. Same rows:
+    # filter() preserves split order == pos order, and the slide
+    # expression below is byte-identical to _shingles_from_tokens'.
+    per_doc = _spread(
+        _read(spark, sf_dir, "documents").select("doc_id", "text")
+    ).select(
+        "doc_id",
+        F.expr("filter(split(text, ' '), x -> x != '')").alias("toks"),
     )
+    return _slide_shingles(per_doc)
 
 
 def _shingles_from_tokens(t: DataFrame) -> DataFrame:
@@ -256,6 +309,14 @@ def _shingles_from_tokens(t: DataFrame) -> DataFrame:
             lambda s: s["token"],
         ).alias("toks")
     )
+    return _slide_shingles(per_doc)
+
+
+def _slide_shingles(per_doc: DataFrame) -> DataFrame:
+    """(doc_id, toks array) → (doc_id, shingle): the ONE trigram slide
+    expression, shared by the shuffled token-frame path
+    (_shingles_from_tokens) and the narrow from-text path (shingles)
+    so the two can never drift."""
     return per_doc.select(
         "doc_id",
         F.explode(
@@ -573,26 +634,17 @@ WHERE EXISTS (
 """,
 )
 def q_kg_entity_search(spark, sf_dir):
-    # r6 opt (guide §2.4): the semi-join probe side re-ran the whole
-    # tokenize pipeline (sentences() and hits both start from tokens —
-    # 2 parquet scans + a distinct + a semi-join exchange in the before
-    # plan). The EXISTS over the same grouping key is just a per-group
-    # ANY — fold it into the sentence-rebuild aggregate itself: one
-    # pass, one exchange, no join. Same rows (max(flag) == EXISTS).
+    # r6 opt (guide §2.4): the before plan re-ran the tokenize pipeline
+    # for the semi-join probe side (2 parquet scans + a distinct + a
+    # semi-join exchange). The EXISTS is a per-sentence ANY over the
+    # sentence's own tokens — and sent_text is the non-empty tokens
+    # single-space-joined, so split(sent_text) reproduces exactly that
+    # token set. With the narrow sentences() rebuild the whole query is
+    # scan → project → explode → filter: ZERO exchanges, zero joins.
+    terms = F.array(*[F.lit(t) for t in SEARCH_TERMS])
     return (
-        tokens(spark, sf_dir)
-        .groupBy("doc_id", "sent_idx")
-        .agg(
-            F.array_join(
-                F.transform(
-                    F.array_sort(F.collect_list(F.struct("pos", "token"))),
-                    lambda s: s["token"],
-                ),
-                " ",
-            ).alias("sent_text"),
-            F.max(F.col("token").isin(SEARCH_TERMS)).alias("_hit"),
-        )
-        .filter(F.col("_hit"))
+        sentences(spark, sf_dir)
+        .filter(F.arrays_overlap(F.split("sent_text", " "), terms))
         .select("doc_id", "sent_idx", "sent_text")
     )
 
@@ -1175,17 +1227,45 @@ FROM toks GROUP BY doc_id
 """,
 )
 def q_doc_quality_scores(spark, sf_dir):
-    t = tokens(spark, sf_dir)
-    return t.groupBy("doc_id").agg(
-        F.count("*").alias("n_tokens"),
-        F.countDistinct("token").alias("n_distinct"),
-        F.round(
-            F.countDistinct("token").cast("double") / F.count("*"), 6
-        ).alias("ttr"),
-        F.round(
-            F.sum(F.length("token")).cast("double") / F.count("*"), 6
-        ).alias("avg_token_len"),
-        F.max(F.length("token")).cast("bigint").alias("max_token_len"),
+    # r6 opt (guide §2.4): every statistic is a function of ONE row's
+    # token multiset — derive it intra-row from filter(split(text))
+    # instead of exploding all tokens and shuffling them back into
+    # per-doc groups (the before plan's countDistinct exchange carried
+    # every distinct (doc, token) pair). ZERO exchanges now. Values
+    # identical: integer counts/sums are order-free, the two double
+    # divisions are the same operations on the same exact integers.
+    # the tokens-exist guard is length(trim(text)) > 0 — equivalent to
+    # size(_t) > 0 (a doc tokenizes empty iff its text is all spaces)
+    # but cheap under filter pushdown: a size(_t) filter below the
+    # projection would re-evaluate the whole tokenize chain per row.
+    d = _spread(
+        _read(spark, sf_dir, "documents")
+        .select("doc_id", "text")
+        .filter(F.expr("length(trim(text)) > 0"))
+    )
+    return (
+        d.select(
+            "doc_id",
+            F.expr("filter(split(text, ' '), x -> x != '')").alias("_t"),
+        )
+        .select(
+            "doc_id",
+            F.size("_t").cast("bigint").alias("n_tokens"),
+            F.size(F.array_distinct("_t")).cast("bigint").alias("n_distinct"),
+            F.round(
+                F.size(F.array_distinct("_t")).cast("double") / F.size("_t"), 6
+            ).alias("ttr"),
+            F.round(
+                F.expr(
+                    "aggregate(_t, CAST(0 AS BIGINT), (acc, x) -> acc + length(x))"
+                ).cast("double")
+                / F.size("_t"),
+                6,
+            ).alias("avg_token_len"),
+            F.expr("array_max(transform(_t, x -> length(x)))")
+            .cast("bigint")
+            .alias("max_token_len"),
+        )
     )
 
 
@@ -1204,23 +1284,39 @@ GROUP BY t.doc_id
 """,
 )
 def q_lang_id_stopword(spark, sf_dir):
-    t = tokens(spark, sf_dir)
-    d = _read(spark, sf_dir, "documents").select("doc_id", "lang")
-    is_stop = F.when(F.col("token").isin(STOPWORDS), 1).otherwise(0)
-    agg = (
-        t.join(d, "doc_id")
-        .groupBy("doc_id")
-        .agg(
-            F.sum(is_stop).cast("bigint").alias("n_stop"),
-            F.count("*").alias("n_tokens"),
-            F.min("lang").alias("lang"),
-        )
+    # r6 opt (guide §2.4): the stopword count is a per-row property and
+    # lang already sits on the same documents row — no explode, no
+    # shuffle-back, no join. ZERO exchanges (before: explode + join +
+    # grouped agg). Integer-only predicate unchanged.
+    stop_list = ", ".join(f"'{s}'" for s in STOPWORDS)
+    # same trim-guard as doc_quality_scores (cheap pushdown-safe filter)
+    d = _spread(
+        _read(spark, sf_dir, "documents")
+        .select("doc_id", "lang", "text")
+        .filter(F.expr("length(trim(text)) > 0"))
     )
-    # integer-only predicate: stopword ratio >= 1/20 (no float compare)
-    return agg.withColumn(
-        "pred_lang",
-        F.when(F.col("n_stop") * 20 >= F.col("n_tokens"), "en").otherwise("other"),
-    ).select("doc_id", "n_stop", "n_tokens", "pred_lang", "lang")
+    return (
+        d.select(
+            "doc_id",
+            "lang",
+            F.expr("filter(split(text, ' '), x -> x != '')").alias("_t"),
+        )
+        .select(
+            "doc_id",
+            F.expr(f"size(filter(_t, x -> x IN ({stop_list})))")
+            .cast("bigint")
+            .alias("n_stop"),
+            F.size("_t").cast("bigint").alias("n_tokens"),
+            "lang",
+        )
+        .withColumn(
+            "pred_lang",
+            F.when(F.col("n_stop") * 20 >= F.col("n_tokens"), "en").otherwise(
+                "other"
+            ),
+        )
+        .select("doc_id", "n_stop", "n_tokens", "pred_lang", "lang")
+    )
 
 
 @register(
@@ -1236,10 +1332,31 @@ FROM shingles GROUP BY doc_id
 def q_doc_fingerprint(spark, sf_dir):
     """Winnowing-style document fingerprint: min-hash of trigram shingles
     (rolling-hash analog with a cross-engine-stable hash)."""
-    sh = shingles(spark, sf_dir)
-    return sh.groupBy("doc_id").agg(
-        F.min(F.md5(F.col("shingle").cast("binary"))).alias("fingerprint"),
-        F.countDistinct("shingle").alias("n_shingles"),
+    # r6 opt (guide §2.4): both aggregates are functions of one row's
+    # shingle multiset — compute them intra-row over the same slide
+    # expression shingles() uses (no explode, no shuffle-back; ZERO
+    # exchanges). array_min over md5 hex strings == F.min (both
+    # lexicographic); size(array_distinct) == count(DISTINCT).
+    # _sh is empty iff the doc tokenizes empty (any non-empty token
+    # yields at least the i=0 concat) — use the cheap trim-guard, and
+    # keep the md5 argmin in a codegen'd explode+agg (an intra-row
+    # transform(md5) measured far slower interpreted); the exchange
+    # carries one partial row per doc.
+    per_doc = _spread(
+        _read(spark, sf_dir, "documents")
+        .select("doc_id", "text")
+        .filter(F.expr("length(trim(text)) > 0"))
+    ).select(
+        "doc_id",
+        F.expr("filter(split(text, ' '), x -> x != '')").alias("toks"),
+    )
+    return (
+        _slide_shingles(per_doc)
+        .groupBy("doc_id")
+        .agg(
+            F.min(F.md5(F.col("shingle").cast("binary"))).alias("fingerprint"),
+            F.countDistinct("shingle").alias("n_shingles"),
+        )
     )
 
 
@@ -2542,13 +2659,38 @@ def q_doc_repetition(spark, sf_dir):
     where near-identical phrases loop. One per-doc aggregation over the
     shingle view; pairs with doc_quality_scores and the stratified
     sampler as the third curation signal."""
-    sh = shingles(spark, sf_dir)
-    return sh.groupBy("doc_id").agg(
-        F.count("*").alias("n_shingles"),
-        F.countDistinct("shingle").alias("n_distinct"),
-        F.round(
-            1.0 - F.countDistinct("shingle").cast("double") / F.count("*"), 6
-        ).alias("rep_ratio"),
+    # r6 opt (guide §2.4): per-row statistics of the row's own shingle
+    # multiset — intra-row, zero exchanges (same shape as
+    # doc_fingerprint; values identical, integer counts + one division)
+    d = _spread(
+        _read(spark, sf_dir, "documents")
+        .select("doc_id", "text")
+        .filter(F.expr("length(trim(text)) > 0"))  # trim-guard, see doc_quality_scores
+    )
+    return (
+        d.select(
+            "doc_id",
+            F.expr("filter(split(text, ' '), x -> x != '')").alias("toks"),
+        )
+        .select(
+            "doc_id",
+            F.expr(
+                "filter(transform(sequence(0, greatest(size(toks) - 3, -1)),"
+                " i -> concat_ws(' ', toks[i], toks[i+1], toks[i+2])),"
+                " s -> s != '')"
+            ).alias("_sh"),
+        )
+        .select(
+            "doc_id",
+            F.size("_sh").cast("bigint").alias("n_shingles"),
+            F.size(F.array_distinct("_sh")).cast("bigint").alias("n_distinct"),
+            F.round(
+                1.0
+                - F.size(F.array_distinct("_sh")).cast("double")
+                / F.size("_sh"),
+                6,
+            ).alias("rep_ratio"),
+        )
     )
 
 
@@ -3859,18 +4001,23 @@ def q_events_rollup_cascade(spark, sf_dir):
         .cast("bigint")
         .alias("v"),
     )
+    # r6 opt (guide §2.4): each level fans out to the next level AND
+    # the union output — without materialization the minute agg (and
+    # its raw-events scan) executed 3× and the hour agg 2×. The
+    # materialized partials are exactly what a continuous aggregate
+    # would persist.
     minute = ev.groupBy(
         F.date_trunc("minute", "ts").alias("b"), "event_type"
     ).agg(
         F.count("*").cast("bigint").alias("n"),
         F.sum("v").cast("bigint").alias("v"),
-    )
+    ).localCheckpoint()
     hour = minute.groupBy(
         F.date_trunc("hour", "b").alias("b"), "event_type"
     ).agg(
         F.sum("n").cast("bigint").alias("n"),
         F.sum("v").cast("bigint").alias("v"),
-    )
+    ).localCheckpoint()
     day = hour.groupBy(
         F.date_trunc("day", "b").alias("b"), "event_type"
     ).agg(
@@ -4141,7 +4288,9 @@ def q_text_bigram_lm(spark, sf_dir):
     sort-based skew point; the agg+join is sort-free and map-side
     partial). All hash-partitioned, nothing global. LM construction is
     shared with doc_lm_score via _doc_bigrams_from/_bigram_lm_from."""
-    big = _bigram_lm_from(_doc_bigrams_from(tokens(spark, sf_dir)))
+    big = _bigram_lm_from(
+        _doc_bigrams_narrow(_read(spark, sf_dir, "documents"))
+    )
     return big.filter(F.col("c12") >= 3).select(
         "w1",
         "w2",
@@ -4159,6 +4308,33 @@ def _doc_bigrams_from(t: DataFrame) -> DataFrame:
         t.withColumn("w2", F.lead("token").over(w))
         .filter(F.col("w2").isNotNull())
         .select("doc_id", F.col("token").alias("w1"), "w2")
+    )
+
+
+def _doc_bigrams_narrow(docs: DataFrame) -> DataFrame:
+    """(doc_id, text) → per-occurrence bigrams (doc_id, w1, w2) with
+    ZERO exchange (r6 opt, guide §2.4): a bigram is two ADJACENT
+    non-empty tokens of one row's text, so the lead-window formulation
+    (_doc_bigrams_from — kept for token-frame callers) paid a doc_id
+    exchange + per-doc sort for something derivable intra-row. Same
+    rows: filter(split) order == pos order, lead == next array element."""
+    return (
+        _spread(docs.select("doc_id", "text"))
+        .select(
+            "doc_id",
+            F.expr("filter(split(text, ' '), x -> x != '')").alias("toks"),
+        )
+        .select(
+            "doc_id",
+            F.explode(
+                F.expr(
+                    "transform(sequence(0, greatest(size(toks) - 2, -1)),"
+                    " i -> named_struct('w1', toks[i], 'w2', toks[i+1]))"
+                )
+            ).alias("_b"),
+        )
+        .filter(F.col("_b.w2").isNotNull())
+        .select("doc_id", F.col("_b.w1").alias("w1"), F.col("_b.w2").alias("w2"))
     )
 
 
@@ -4578,12 +4754,12 @@ def q_train_corpus_curated(spark, sf_dir):
     not three times."""
     from .stages.canonical import connected_components
 
-    t = (
-        tokens(spark, sf_dir)
-        .select("doc_id", "pos", "token")
-        .localCheckpoint()  # feeds quality agg + the shingle branch
-    )
-    sh = _shingles_from_tokens(t).localCheckpoint()  # pairs + contamination
+    # r6 opt (guide §2.4): the shared 18M-row token frame is gone —
+    # the quality statistics are intra-row (same rewrite as
+    # doc_quality_scores) and the shingle branch uses the narrow
+    # filter(split)→slide path, so only the (much smaller) distinct
+    # shingle frame is materialized for its two consumers.
+    sh = shingles(spark, sf_dir).localCheckpoint()  # pairs + contamination
     pairs = _minhash_pairs_from(sh).select(
         F.col("doc_a").alias("src"), F.col("doc_b").alias("dst")
     )
@@ -4591,9 +4767,21 @@ def q_train_corpus_curated(spark, sf_dir):
         F.col("node").alias("doc_id"), "component"
     )
     dupes = comp.filter(F.col("component") < F.col("doc_id")).select("doc_id")
-    quality = t.groupBy("doc_id").agg(
-        F.count("*").cast("bigint").alias("n_tokens"),
-        F.countDistinct("token").cast("bigint").alias("nd"),
+    quality = (
+        _spread(
+            _read(spark, sf_dir, "documents")
+            .select("doc_id", "text")
+            .filter(F.expr("length(trim(text)) > 0"))  # trim-guard
+        )
+        .select(
+            "doc_id",
+            F.expr("filter(split(text, ' '), x -> x != '')").alias("_t"),
+        )
+        .select(
+            "doc_id",
+            F.size("_t").cast("bigint").alias("n_tokens"),
+            F.size(F.array_distinct("_t")).cast("bigint").alias("nd"),
+        )
     )
     contam = _contamination_from(sh).select("doc_id", "contam_ppm")
     return (
@@ -4979,7 +5167,9 @@ def q_doc_lm_score(spark, sf_dir):
     w1 marginal are map-side partial aggs; final agg keys on doc_id.
     LM construction is the SAME _doc_bigrams_from/_bigram_lm_from
     text_bigram_lm uses — the two queries cannot silently diverge."""
-    bg = _doc_bigrams_from(tokens(spark, sf_dir)).localCheckpoint()
+    bg = _doc_bigrams_narrow(
+        _read(spark, sf_dir, "documents")
+    ).localCheckpoint()
     p = _bigram_lm_from(bg).select(
         "w1",
         "w2",
@@ -5294,13 +5484,26 @@ def q_dedup_epoch_incremental(spark, sf_dir):
 
     from .streaming.ingest import epoch_dedup_pairs
 
-    docs = _read(spark, sf_dir, "documents").select("doc_id", "text")
+    # _spread: the single-row-group scan would otherwise serialize the
+    # per-epoch tokenize+signature chain onto one task (guide §2.5)
+    docs = _spread(_read(spark, sf_dir, "documents").select("doc_id", "text"))
 
     def sig_fn(epoch_docs: DataFrame) -> DataFrame:
-        # shared leaves: _doc_tokens → _shingles_from_tokens →
-        # _md5_sig_cols are the SAME helpers dedup_minhash_pairs uses,
-        # so this family and its oracle can never drift apart
-        sigs = _md5_sig_cols(_shingles_from_tokens(_doc_tokens(epoch_docs)))
+        # shared leaves: the narrow filter(split)→_slide_shingles path
+        # (same slide expression as every other shingle consumer) →
+        # _md5_sig_cols, so this family and its oracle can never drift
+        # apart. r6 opt: intra-row token derivation — no collect_list
+        # exchange before the signature agg.
+        sigs = _md5_sig_cols(
+            _slide_shingles(
+                epoch_docs.select(
+                    "doc_id",
+                    F.expr("filter(split(text, ' '), x -> x != '')").alias(
+                        "toks"
+                    ),
+                )
+            )
+        )
         return sigs.select(
             "doc_id",
             F.array(*[F.col(f"h{s}") for s in range(MINHASH_SEEDS)]).alias("sig"),
