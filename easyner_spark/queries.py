@@ -107,6 +107,12 @@ def _spread(df: DataFrame) -> DataFrame:
 # shared Spark building blocks
 # ---------------------------------------------------------------------------
 
+def _embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """embeddings scan behind the same _spread guard (vector math above
+    the first exchange is the expensive part)."""
+    return _spread(_read(spark, sf_dir, "embeddings"))
+
+
 
 def _doc_tokens(docs: DataFrame) -> DataFrame:
     """(doc_id, text) → (doc_id, pos, token): ONE definition of the
@@ -1419,7 +1425,7 @@ def q_embed_knn_bruteforce(spark, sf_dir):
     The query side (vec_id < KNN_QUERIES) is tiny → broadcast; the dot
     product runs JVM-side via zip_with + aggregate (no UDF, stays in
     whole-stage codegen)."""
-    e = _read(spark, sf_dir, "embeddings")
+    e = _embeddings(spark, sf_dir)
     # r6 opt (guide §1.2): the squared norms depend on ONE side each,
     # but were evaluated per PAIR — |Q|·|C| interpreted higher-order
     # aggregates instead of |Q|+|C|. Hoist them onto the input frames;
@@ -1531,7 +1537,7 @@ def q_embed_ivf_knn(spark, sf_dir):
     engines (same recipe as embed_knn_bruteforce)."""
     from .ops.similarity import ivf_build, ivf_search
 
-    e = _read(spark, sf_dir, "embeddings")
+    e = _embeddings(spark, sf_dir)
     okey = F.md5(F.col("vec_id").cast("string").cast("binary"))
     cents, assigns = ivf_build(e, nlist=IVF_NLIST, order_key=okey, sim_round=6)
     q = e.filter(F.col("vec_id") < KNN_QUERIES).select("vec_id", "embedding")
@@ -1615,7 +1621,7 @@ FROM bits GROUP BY bucket
 def q_embed_lsh_buckets(spark, sf_dir):
     """Random-hyperplane LSH bucketing: the scale path for ANN — bucket
     first, then search within buckets (candidate set ≪ corpus)."""
-    e = _read(spark, sf_dir, "embeddings")
+    e = _embeddings(spark, sf_dir)
     # see _lsh_bucket_expr: plan-time coefficients, no explode, no md5
     bits = e.select("vec_id", F.expr(_lsh_bucket_expr()).alias("bucket"))
     return bits.groupBy("bucket").agg(
@@ -1770,7 +1776,7 @@ def q_embed_lsh_knn(spark, sf_dir):
     search: candidates restricted to the query's hyperplane bucket
     (candidate set ~ corpus/2^planes), exact cosine re-ranking inside
     the bucket. Compare embed_knn_bruteforce for the exact baseline."""
-    e = _read(spark, sf_dir, "embeddings")
+    e = _embeddings(spark, sf_dir)
     # r6 opt: same plan-time-coefficient bucket expression as
     # embed_lsh_buckets (no explode, no per-row md5); the bucket frame
     # feeds both join sides, so materialize it once (guide §2.4).
@@ -2042,7 +2048,7 @@ def q_dedup_embedding_cosine(spark, sf_dir):
     path: LSH-bucket blocking (candidates share a hyperplane bucket)
     then exact cosine >= threshold inside the bucket. Complements the
     lexical dedup family (exact / Jaccard / MinHash / SimHash)."""
-    e = _read(spark, sf_dir, "embeddings")
+    e = _embeddings(spark, sf_dir)
     v = e.select("vec_id", F.posexplode("embedding").alias("pos", "val"))
     planes = F.explode(F.sequence(F.lit(0), F.lit(LSH_PLANES - 1))).alias("plane")
     coef = F.expr(
@@ -2783,7 +2789,7 @@ def q_embed_label_centroids(spark, sf_dir):
     once — order- and engine-invariant at any SF. (A double AVG flipped
     a 1e-6 rounding boundary at sf0.1, and double→DECIMAL casts differ
     between engines at the 17th digit.)"""
-    e = _read(spark, sf_dir, "embeddings")
+    e = _embeddings(spark, sf_dir)
     v = e.select("label", F.posexplode("embedding").alias("pos", "val"))
     dims = v.groupBy("label", "pos").agg(
         (
@@ -6361,7 +6367,7 @@ def host_links_df(spark: SparkSession, sf_dir: str) -> DataFrame:
     link graph; pure-JVM arithmetic projection + explode, one partial
     agg (at crawl scale this is the linkgraph-extraction shuffle:
     billions of page edges collapse to a host×host frame)."""
-    d = _read(spark, sf_dir, "documents").select("doc_id", "source")
+    d = _spread(_read(spark, sf_dir, "documents").select("doc_id", "source"))
     return (
         d.select(
             F.col("source").alias("src"),
@@ -6705,7 +6711,7 @@ def _len_hist(spark, sf_dir):
     (every consumer fans out at least three ways: both theta sides of
     the cumulative join plus the total)."""
     lens = (
-        _doc_tokens(_read(spark, sf_dir, "documents"))
+        _doc_tokens(_spread(_read(spark, sf_dir, "documents").select("doc_id", "text")))
         .groupBy("doc_id")
         .agg(F.count("*").cast("bigint").alias("len"))
     )
