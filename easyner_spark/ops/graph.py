@@ -37,6 +37,11 @@ from pyspark.sql import DataFrame, functions as F
 PR_SCALE = 10**12
 PR_DAMP_NUM = 85  # damping 0.85 as an exact rational (85/100)
 PR_DAMP_DEN = 100
+# fixed-iteration pagerank cuts its lazily-chained lineage every this
+# many rounds (see the loop comment) — deep enough that contract-scale
+# calls (≤ 5 rounds) run as one job, shallow enough that a 100-round
+# call cannot overflow task serialization
+PR_CHECKPOINT_EVERY = 8
 
 
 def pagerank(
@@ -156,7 +161,14 @@ def pagerank(
         base_expr = f"CASE WHEN _seed = 1 THEN {base_term} ELSE 0 END"
     if info is not None:
         info.update({"rounds": 0, "last_delta": None})
-    for _ in range(iterations):
+    # fixed-iteration lineage cap: chain rounds lazily (each round's
+    # frame has ONE consumer — the next round — and eo/nodes are
+    # already materialized) but cut the plan every PR_CHECKPOINT_EVERY
+    # rounds so a large iteration count cannot overflow task
+    # serialization. Contract queries run ≤ 5 rounds → zero mid-loop
+    # checkpoints (one job total); a 100-round production call pays
+    # 1/PR_CHECKPOINT_EVERY of the old per-round eager-job cost.
+    for it in range(iterations):
         if info is not None:
             info["rounds"] += 1
         # per-edge contribution stays BIGINT (bounded by a node's rank);
@@ -182,14 +194,9 @@ def pagerank(
         )
         if epsilon_scaled is not None:
             # the convergence check consumes each round's frame twice
-            # (delta join + next round) — materialize it; the fixed-
-            # iteration path below chains lazily instead: each round's
-            # frame has exactly ONE consumer (the next round), the
-            # loop inputs (eo/nodes) are already checkpointed, and a
-            # bounded iteration count keeps the lineage shallow, so
-            # the whole recursion runs as ONE job instead of paying an
-            # eager checkpoint job per round (r6 opt, guide §1.2 —
-            # scheduler overhead dominated these SF-invariant loops).
+            # (delta join + next round) — materialize every round
+            # (r6 opt, guide §1.2: the fixed-iteration path below
+            # instead chains lazily with a periodic lineage cut).
             new_ranks = new_ranks.localCheckpoint()
             # exact integer convergence check: one hash-join on node
             # (both sides already materialized) + a bounded max agg
@@ -206,6 +213,8 @@ def pagerank(
             if delta is not None and delta <= epsilon_scaled:
                 break
         else:
+            if (it + 1) % PR_CHECKPOINT_EVERY == 0 and it + 1 < iterations:
+                new_ranks = new_ranks.localCheckpoint()
             ranks = new_ranks
     return ranks.select("node", F.col("rank").alias("rank_scaled"))
 

@@ -86,19 +86,46 @@ def _read(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 
 
-def _spread(df: DataFrame) -> DataFrame:
+_SPREAD_OPEN_COST = 4 * 1024 * 1024  # spark.sql.files.openCostInBytes default
+
+
+def _table_bytes(sf_dir: str, name: str) -> int | None:
+    """On-disk bytes of a testdata table (file or directory); None for
+    non-local paths (cluster: leave the scan alone)."""
+    import os
+
+    path = f"{sf_dir}/{name}.parquet"
+    try:
+        if os.path.isfile(path):
+            return os.path.getsize(path)
+        return sum(
+            os.path.getsize(os.path.join(r, f))
+            for r, _d, fs in os.walk(path)
+            for f in fs
+        )
+    except OSError:
+        return None
+
+
+def _spread(df: DataFrame, sf_dir: str, name: str) -> DataFrame:
     """Input-skew guard (r6 opt, guide §2.5): the testdata parquet files
-    hold ONE row group, so Spark's byte-range splits all collapse onto
-    a single task and every narrow expression chain above the first
-    exchange runs on one core. When the scan under-parallelizes, spread
-    the (still tiny, pre-explode) rows round-robin across the default
-    parallelism — a few MB of shuffle that unlocks every core for the
-    tokenize/slide work. Scale-adaptive by construction: a production
-    table scans as thousands of splits, the branch is not taken, and no
-    shuffle is added."""
+    hold ONE row group, so Spark's byte-range splits collapse onto a
+    single task and every narrow expression chain above the first
+    exchange runs on one core. When the table is small enough that the
+    scan cannot yield defaultParallelism real splits (bytes <
+    parallelism × openCostInBytes — the same constant Spark's split
+    packing charges per file), spread the still-narrow rows round-robin
+    across the cores: a few MB of shuffle that unlocks the tokenize/
+    slide work. Scale-adaptive by construction — a production table is
+    past the threshold (or non-local → probe returns None) and no
+    shuffle is added. The probe is a local stat call, not a Spark job,
+    so sub-second queries don't pay a JVM round-trip for it."""
+    b = _table_bytes(sf_dir, name)
+    if b is None:
+        return df
     sc = df.sparkSession.sparkContext
     target = sc.defaultParallelism
-    if df.rdd.getNumPartitions() < target:
+    if b < target * _SPREAD_OPEN_COST:
         df = df.repartition(target)
     return df
 
@@ -110,7 +137,7 @@ def _spread(df: DataFrame) -> DataFrame:
 def _embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
     """embeddings scan behind the same _spread guard (vector math above
     the first exchange is the expensive part)."""
-    return _spread(_read(spark, sf_dir, "embeddings"))
+    return _spread(_read(spark, sf_dir, "embeddings"), sf_dir, "embeddings")
 
 
 
@@ -131,7 +158,7 @@ def tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
     posexplode keeps within-row order, no shuffle (the _spread guard
     redistributes the pre-explode rows when the scan is one split)."""
     return (
-        _doc_tokens(_spread(_read(spark, sf_dir, "documents").select("doc_id", "text")))
+        _doc_tokens(_spread(_read(spark, sf_dir, "documents").select("doc_id", "text"), sf_dir, "documents"))
         .select(
             "doc_id",
             "pos",
@@ -241,7 +268,7 @@ def sentences(spark: SparkSession, sf_dir: str) -> DataFrame:
     order, concat_ws == array_join, size(non-empty) == count(*), and
     windows with no non-empty token had no group before == filtered
     here."""
-    docs = _spread(_read(spark, sf_dir, "documents").select("doc_id", "text"))
+    docs = _spread(_read(spark, sf_dir, "documents").select("doc_id", "text"), sf_dir, "documents")
     return (
         docs.select(
             "doc_id",
@@ -294,7 +321,9 @@ def shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
     # filter() preserves split order == pos order, and the slide
     # expression below is byte-identical to _shingles_from_tokens'.
     per_doc = _spread(
-        _read(spark, sf_dir, "documents").select("doc_id", "text")
+        _read(spark, sf_dir, "documents").select("doc_id", "text"),
+        sf_dir,
+        "documents",
     ).select(
         "doc_id",
         F.expr("filter(split(text, ' '), x -> x != '')").alias("toks"),
@@ -1247,7 +1276,9 @@ def q_doc_quality_scores(spark, sf_dir):
     d = _spread(
         _read(spark, sf_dir, "documents")
         .select("doc_id", "text")
-        .filter(F.expr("length(trim(text)) > 0"))
+        .filter(F.expr("length(trim(text)) > 0")),
+        sf_dir,
+        "documents",
     )
     return (
         d.select(
@@ -1299,7 +1330,9 @@ def q_lang_id_stopword(spark, sf_dir):
     d = _spread(
         _read(spark, sf_dir, "documents")
         .select("doc_id", "lang", "text")
-        .filter(F.expr("length(trim(text)) > 0"))
+        .filter(F.expr("length(trim(text)) > 0")),
+        sf_dir,
+        "documents",
     )
     return (
         d.select(
@@ -1351,7 +1384,9 @@ def q_doc_fingerprint(spark, sf_dir):
     per_doc = _spread(
         _read(spark, sf_dir, "documents")
         .select("doc_id", "text")
-        .filter(F.expr("length(trim(text)) > 0"))
+        .filter(F.expr("length(trim(text)) > 0")),
+        sf_dir,
+        "documents",
     ).select(
         "doc_id",
         F.expr("filter(split(text, ' '), x -> x != '')").alias("toks"),
@@ -2671,7 +2706,9 @@ def q_doc_repetition(spark, sf_dir):
     d = _spread(
         _read(spark, sf_dir, "documents")
         .select("doc_id", "text")
-        .filter(F.expr("length(trim(text)) > 0"))  # trim-guard, see doc_quality_scores
+        .filter(F.expr("length(trim(text)) > 0")),  # trim-guard, see doc_quality_scores
+        sf_dir,
+        "documents",
     )
     return (
         d.select(
@@ -2789,7 +2826,11 @@ def q_embed_label_centroids(spark, sf_dir):
     once — order- and engine-invariant at any SF. (A double AVG flipped
     a 1e-6 rounding boundary at sf0.1, and double→DECIMAL casts differ
     between engines at the 17th digit.)"""
-    e = _embeddings(spark, sf_dir)
+    # plain read, NOT _embeddings/_spread (r6): this query's per-row
+    # work is one posexplode + floor — too light for the spread to pay,
+    # and e fans out to two consumers which would duplicate the
+    # repartition subtree (measured 0.2 -> 1.7 s spread; reverted).
+    e = _read(spark, sf_dir, "embeddings")
     v = e.select("label", F.posexplode("embedding").alias("pos", "val"))
     dims = v.groupBy("label", "pos").agg(
         (
@@ -4295,7 +4336,7 @@ def q_text_bigram_lm(spark, sf_dir):
     partial). All hash-partitioned, nothing global. LM construction is
     shared with doc_lm_score via _doc_bigrams_from/_bigram_lm_from."""
     big = _bigram_lm_from(
-        _doc_bigrams_narrow(_read(spark, sf_dir, "documents"))
+        _doc_bigrams_narrow(_read(spark, sf_dir, "documents"), sf_dir)
     )
     return big.filter(F.col("c12") >= 3).select(
         "w1",
@@ -4317,7 +4358,7 @@ def _doc_bigrams_from(t: DataFrame) -> DataFrame:
     )
 
 
-def _doc_bigrams_narrow(docs: DataFrame) -> DataFrame:
+def _doc_bigrams_narrow(docs: DataFrame, sf_dir: str) -> DataFrame:
     """(doc_id, text) → per-occurrence bigrams (doc_id, w1, w2) with
     ZERO exchange (r6 opt, guide §2.4): a bigram is two ADJACENT
     non-empty tokens of one row's text, so the lead-window formulation
@@ -4325,7 +4366,7 @@ def _doc_bigrams_narrow(docs: DataFrame) -> DataFrame:
     exchange + per-doc sort for something derivable intra-row. Same
     rows: filter(split) order == pos order, lead == next array element."""
     return (
-        _spread(docs.select("doc_id", "text"))
+        _spread(docs.select("doc_id", "text"), sf_dir, "documents")
         .select(
             "doc_id",
             F.expr("filter(split(text, ' '), x -> x != '')").alias("toks"),
@@ -4777,7 +4818,9 @@ def q_train_corpus_curated(spark, sf_dir):
         _spread(
             _read(spark, sf_dir, "documents")
             .select("doc_id", "text")
-            .filter(F.expr("length(trim(text)) > 0"))  # trim-guard
+            .filter(F.expr("length(trim(text)) > 0")),  # trim-guard
+            sf_dir,
+            "documents",
         )
         .select(
             "doc_id",
@@ -5174,7 +5217,7 @@ def q_doc_lm_score(spark, sf_dir):
     LM construction is the SAME _doc_bigrams_from/_bigram_lm_from
     text_bigram_lm uses — the two queries cannot silently diverge."""
     bg = _doc_bigrams_narrow(
-        _read(spark, sf_dir, "documents")
+        _read(spark, sf_dir, "documents"), sf_dir
     ).localCheckpoint()
     p = _bigram_lm_from(bg).select(
         "w1",
@@ -5492,7 +5535,7 @@ def q_dedup_epoch_incremental(spark, sf_dir):
 
     # _spread: the single-row-group scan would otherwise serialize the
     # per-epoch tokenize+signature chain onto one task (guide §2.5)
-    docs = _spread(_read(spark, sf_dir, "documents").select("doc_id", "text"))
+    docs = _spread(_read(spark, sf_dir, "documents").select("doc_id", "text"), sf_dir, "documents")
 
     def sig_fn(epoch_docs: DataFrame) -> DataFrame:
         # shared leaves: the narrow filter(split)→_slide_shingles path
@@ -6367,7 +6410,10 @@ def host_links_df(spark: SparkSession, sf_dir: str) -> DataFrame:
     link graph; pure-JVM arithmetic projection + explode, one partial
     agg (at crawl scale this is the linkgraph-extraction shuffle:
     billions of page edges collapse to a host×host frame)."""
-    d = _spread(_read(spark, sf_dir, "documents").select("doc_id", "source"))
+    # plain read (r6): the 3-way explode is light and the host queries
+    # are sub-second — the spread taxed them ~0.3-0.5 s (measured;
+    # reverted, same reasoning as the events family).
+    d = _read(spark, sf_dir, "documents").select("doc_id", "source")
     return (
         d.select(
             F.col("source").alias("src"),
@@ -6711,7 +6757,7 @@ def _len_hist(spark, sf_dir):
     (every consumer fans out at least three ways: both theta sides of
     the cumulative join plus the total)."""
     lens = (
-        _doc_tokens(_spread(_read(spark, sf_dir, "documents").select("doc_id", "text")))
+        _doc_tokens(_spread(_read(spark, sf_dir, "documents").select("doc_id", "text"), sf_dir, "documents"))
         .groupBy("doc_id")
         .agg(F.count("*").cast("bigint").alias("len"))
     )
